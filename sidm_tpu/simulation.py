@@ -1,0 +1,442 @@
+"""Simulation driver: the TPU counterpart of main.c / begrun.c / run.c.
+
+The per-step physics (predict -> gravity -> SIDM -> advance -> reflect ->
+new timesteps; run.c:34-147 and accel.c:27-116) is fused into ONE jitted pure
+function of the particle pytree, so a whole timestep is a single XLA
+executable on device. The Python layer does only what the reference's host
+code does: scheduling of snapshots/statistics/restarts (run.c:51-74,152-211),
+log files, and I/O.
+
+Two stepping modes:
+
+* ``synchronized`` (default): the global step is the minimum of all
+  per-particle timestep criteria — every particle is active every step.
+* ``individual``: per-particle max_pred_time is kept (timeline semantics,
+  timeline.c:20-78); only due particles advance, via masks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time as _wallclock
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import integrate, timestep
+from .config import SimConfig, Units, parse_parameter_file, set_units, \
+    write_parameters_out
+from .constants import MAX_REAL_NUMBER
+from .diagnostics import (CpuLog, EnergyLog, InfoLog, Timer,
+                          compute_system_state)
+from .integrate import StepConsts
+from .io import checkpoint as ckpt
+from .io.gadget import GadgetHeader, Snapshot, read_snapshot, write_snapshot
+from .rng import run_key, step_key
+from .state import Particles, make_particles
+
+
+def softening_table(cfg: SimConfig, a: float) -> np.ndarray:
+    """Comoving softening per type, clamped by MaxPhys (gravtree.c:431-459)."""
+    com = np.array([cfg.SofteningGas, cfg.SofteningHalo, cfg.SofteningDisk,
+                    cfg.SofteningBulge, cfg.SofteningStars, 0.0])
+    phys = np.array([cfg.SofteningGasMaxPhys, cfg.SofteningHaloMaxPhys,
+                     cfg.SofteningDiskMaxPhys, cfg.SofteningBulgeMaxPhys,
+                     cfg.SofteningStarsMaxPhys, 0.0])
+    if cfg.ComovingIntegrationOn:
+        table = np.where(com * a > phys, phys / max(a, 1e-30), com)
+    else:
+        table = com
+    return np.maximum(table, 1e-30)  # avoid h=0 for unused types
+
+
+class Simulation:
+    def __init__(self, cfg: SimConfig, restart_flag: int = 0,
+                 mode: str = "synchronized", force_fn: Optional[Callable] = None,
+                 quiet: bool = False):
+        self.cfg = cfg
+        self.units: Units = set_units(cfg)
+        self.mode = mode
+        self.quiet = quiet
+        self.restart_flag = restart_flag
+        self.particles: Optional[Particles] = None
+        self.time = cfg.TimeBegin
+        self.step_count = 0
+        self.snapshot_count = 0
+        self.time_last_statistics = cfg.TimeBegin - cfg.TimeBetStatistics
+        self.time_of_first_snapshot = cfg.TimeOfFirstSnapshot
+        self.vmax = 0.0
+        self.root_key = run_key(cfg.RandomSeed1, cfg.RandomSeed2)
+        self.cpu_this_run = 0.0
+        self.time_last_restart = 0.0
+        self.sys_state_at_start = None
+        self._force_fn = force_fn
+        self._logs_open = False
+        self._step_jit = None
+        self.dtype = jnp.float64 if cfg.Precision == "f64" else jnp.float32
+
+        self.consts = StepConsts(
+            G=self.units.G,
+            hubble=self.units.Hubble,
+            omega0=cfg.Omega0,
+            omega_lambda=cfg.OmegaLambda,
+            comoving=bool(cfg.ComovingIntegrationOn),
+            periodic=bool(cfg.PeriodicBoundariesOn),
+            box_size=cfg.BoxSize,
+            no_force=bool(cfg.NoForce),
+            no_scatter=bool(cfg.NoScatter),
+            reflection_radius=cfg.ReflectionBoundary,
+        )
+
+    # ------------------------------------------------------------------ setup
+
+    @classmethod
+    def from_parameter_file(cls, path: str, restart_flag: int = 0, **kw):
+        cfg = parse_parameter_file(path)
+        sim = cls(cfg, restart_flag=restart_flag, **kw)
+        write_parameters_out(cfg)
+        return sim
+
+    def set_particles_from_arrays(self, pos, vel, mass, ptype,
+                                  pad_to_multiple: int = 256):
+        p = make_particles(pos, vel, mass, ptype,
+                           pad_to_multiple=pad_to_multiple, dtype=self.dtype)
+        self.particles = self._init_particle_times(p)
+
+    def load_ic(self, path: Optional[str] = None):
+        """read_ic (nbody/read_ic.c): Gadget snapshot as initial conditions.
+
+        restart_flag==2 takes the IC time from the snapshot header
+        (read_ic.c:118-121)."""
+        path = path or os.path.join(os.path.dirname(self.cfg.OutputDir),
+                                    self.cfg.InitCondFile)
+        snap = read_snapshot(path)
+        if self.restart_flag == 2:
+            self.time = float(snap.header.time)
+        p = make_particles(snap.pos, snap.vel, snap.mass, snap.ptype,
+                           pid=snap.pid, egy_spec=snap.u, dtype=self.dtype)
+        self.particles = self._init_particle_times(p)
+
+    def _init_particle_times(self, p: Particles) -> Particles:
+        t0 = jnp.asarray(self.time, self.dtype)
+        return dataclasses.replace(
+            p,
+            current_time=jnp.full_like(p.current_time, t0),
+            max_pred_time=jnp.full_like(p.max_pred_time, t0),
+        )
+
+    def _timestep_params(self) -> timestep.TimestepParams:
+        cfg, u = self.cfg, self.units
+        return timestep.TimestepParams(
+            criterion=cfg.TypeOfTimestepCriterion,
+            err_tol_int_accuracy=cfg.ErrTolIntAccuracy,
+            err_tol_vel_scale=cfg.ErrTolVelScale,
+            err_tol_dynamical_accuracy=cfg.ErrTolDynamicalAccuracy,
+            max_size_timestep=cfg.MaxSizeTimestep,
+            min_size_timestep=cfg.MinSizeTimestep,
+            courant_fac=cfg.CourantFac,
+            art_bulk_visc=cfg.ArtBulkViscConst,
+            softening_table=jnp.asarray(softening_table(cfg, self.time),
+                                        self.dtype),
+            sidm_on=bool(cfg.SIDMOn and cfg.CrossSection > 0),
+            probability_tol=cfg.ProbabilityTol,
+            des_num_ngb=cfg.DesNumNgb,
+            max_num_ngb_dev=cfg.MaxNumNgbDeviation,
+            cross_section_internal=u.CrossSectionInternal,
+            cross_section_type=cfg.CrossSectionType,
+            yukawa_velocity=cfg.YukawaVelocity,
+            cross_section_vel_scale=cfg.CrossSectionVelScale,
+            cross_section_pow_law=cfg.CrossSectionPowLaw,
+            G=u.G,
+            hubble=u.Hubble,
+            omega0=cfg.Omega0,
+            omega_lambda=cfg.OmegaLambda,
+            comoving=bool(cfg.ComovingIntegrationOn),
+        )
+
+    def _make_force_fn(self):
+        if self._force_fn is not None:
+            return self._force_fn
+        box = self.cfg.BoxSize if self.cfg.PeriodicBoundariesOn else None
+        if self.cfg.ForceMethod == "direct":
+            from .ops.direct import direct_gravity
+
+            def force(pos_pred, p, soft_tab):
+                eps = soft_tab[jnp.clip(p.ptype, 0, 5)]
+                return direct_gravity(pos_pred, jnp.where(p.valid, p.mass, 0.0),
+                                      eps, box=box)
+        else:
+            from .ops.treeforce import tree_gravity
+
+            def force(pos_pred, p, soft_tab):
+                eps = soft_tab[jnp.clip(p.ptype, 0, 5)]
+                return tree_gravity(
+                    pos_pred, jnp.where(p.valid, p.mass, 0.0), eps,
+                    p.old_acc, box=box,
+                    theta=self.cfg.ErrTolTheta,
+                    opening=self.cfg.TypeOfOpeningCriterion,
+                    err_tol_force_acc=self.cfg.ErrTolForceAcc)
+        return force
+
+    def _make_sidm_fn(self):
+        cfg = self.cfg
+        if not (cfg.SIDMOn and cfg.CrossSection > 0):
+            return None
+        from .ops.sidm import make_sidm_step
+        return make_sidm_step(cfg, self.units, self.consts)
+
+    # ------------------------------------------------------------------- step
+
+    def _build_step(self):
+        consts = self.consts
+        params = self._timestep_params()
+        force_fn = self._make_force_fn()
+        sidm_fn = self._make_sidm_fn()
+        sync = self.mode == "synchronized"
+        time_max = self.cfg.TimeMax
+
+        @partial(jax.jit, static_argnums=(3,))
+        def do_step(p: Particles, vmax, key, first):
+            t_next = jnp.minimum(integrate.find_next_time(p), time_max)
+            active = integrate.active_mask(p, t_next)
+
+            pos_pred, vel_pred = integrate.predict_positions(p, t_next, consts)
+            raw_acc, pot = force_fn(pos_pred, p, params.softening_table)
+            accel, old_acc = integrate.apply_accel_postfactors(
+                raw_acc, pos_pred, vel_pred, t_next, consts)
+            p = dataclasses.replace(
+                p,
+                accel=jnp.where(active[:, None], accel, p.accel),
+                old_acc=jnp.where(active, old_acc, p.old_acc),
+                pot=jnp.where(active, pot, p.pot),
+            )
+
+            n_scat = jnp.zeros((), jnp.int32)
+            if sidm_fn is not None:
+                p, n_scat = sidm_fn(p, pos_pred, t_next, active, vmax, key)
+
+            p = integrate.advance(p, t_next, active, consts)
+            if consts.reflection_radius > 0:
+                p = integrate.reflect(p, consts.reflection_radius)
+
+            new_mpt = timestep.find_timesteps(p, t_next, active, vmax, params,
+                                              first=first)
+            if sync:
+                mpt_min = jnp.min(jnp.where(p.valid, new_mpt, MAX_REAL_NUMBER))
+                new_mpt = jnp.where(p.valid, mpt_min, new_mpt)
+            p = dataclasses.replace(p, max_pred_time=new_mpt)
+
+            vmax_new = timestep.get_vmax(p)
+            n_active = jnp.sum(active.astype(jnp.int32))
+            return p, t_next, vmax_new, n_active, n_scat
+
+        return do_step
+
+    def prepare(self):
+        """init() equivalent (nbody/init.c:20-199): initial smoothing lengths,
+        first force evaluation, initial timesteps, initial system state."""
+        assert self.particles is not None, "load ICs first"
+        cfg = self.cfg
+        p = self.particles
+
+        # initial SIDM smoothing lengths (init.c setup_smoothinglengths_sidm)
+        if cfg.SIDMOn and cfg.CrossSection > 0:
+            from .ops.neighbors import setup_smoothing_lengths
+            box = cfg.BoxSize if cfg.PeriodicBoundariesOn else None
+            p = setup_smoothing_lengths(
+                p, cfg.DesNumNgb, cfg.MaxNumNgbDeviation, box=box)
+
+        self.vmax = float(timestep.get_vmax(p))
+        self.particles = p
+
+        # first force + initial timesteps via one "first" step with dt=0:
+        # emulate init.c by evaluating the force at TimeBegin and calling
+        # find_timesteps(mode=2). We reuse do_step with first=True and all
+        # max_pred_time == TimeBegin so t_next == TimeBegin and dt == 0.
+        if self._step_jit is None:
+            self._step_jit = self._build_step()
+        key = step_key(self.root_key, 0x7FFFFFFF)  # init-phase sentinel
+        p, t, vmax, _, _ = self._step_jit(self.particles, self.vmax, key,
+                                          True)
+        self.particles, self.time, self.vmax = p, float(t), float(vmax)
+
+        self.sys_state_at_start = jax.tree.map(
+            np.asarray, compute_system_state(self.particles))
+
+    def step(self):
+        if self._step_jit is None:
+            self._step_jit = self._build_step()
+        key = step_key(self.root_key, self.step_count)
+        p, t, vmax, n_active, n_scat = self._step_jit(
+            self.particles, self.vmax, key, False)
+        self.particles = p
+        prev_time = self.time
+        self.time = float(t)
+        self.vmax = float(vmax)
+        self.step_count += 1
+        return self.time - prev_time, int(n_active), int(n_scat)
+
+    # ------------------------------------------------------------------ run()
+
+    def _open_logs(self, append: bool):
+        d = self.cfg.OutputDir
+        os.makedirs(d, exist_ok=True)
+        self.energy_log = EnergyLog(os.path.join(d, self.cfg.EnergyFile), append)
+        self.info_log = InfoLog(os.path.join(d, self.cfg.InfoFile), append)
+        self.cpu_log = CpuLog(os.path.join(d, self.cfg.CpuFile), append)
+        self._logs_open = True
+
+    def run(self, max_steps: Optional[int] = None):
+        """Main loop (run.c:17-221)."""
+        cfg = self.cfg
+        if not self._logs_open:
+            self._open_logs(append=self.restart_flag == 1)
+        if self.sys_state_at_start is None:
+            self.prepare()
+        t_run0 = _wallclock.perf_counter()
+        stop = False
+        while self.time < cfg.TimeMax and not stop:
+            if max_steps is not None and self.step_count >= max_steps:
+                break
+            t0 = _wallclock.perf_counter()
+
+            # statistics cadence (run.c:51-59)
+            if (cfg.TimeBetStatistics > 0 and
+                    self.time - self.time_last_statistics >= cfg.TimeBetStatistics):
+                self.energy_statistics()
+                self.time_last_statistics += cfg.TimeBetStatistics
+
+            # snapshot cadence (run.c:61-74)
+            if cfg.TimeBetSnapshot > 0 and \
+                    self.time - self.time_of_first_snapshot >= 0:
+                self.write_snapshot_file(self.snapshot_count)
+                self.snapshot_count += 1
+                if cfg.OutputListOn and cfg.OutputListTimes:
+                    nxt = [t for t in cfg.OutputListTimes if t > self.time]
+                    self.time_of_first_snapshot = nxt[0] if nxt else MAX_REAL_NUMBER
+                elif cfg.ComovingIntegrationOn:
+                    self.time_of_first_snapshot *= cfg.TimeBetSnapshot
+                else:
+                    self.time_of_first_snapshot += cfg.TimeBetSnapshot
+
+            dt, n_active, n_scat = self.step()
+            self.info_log.write(self.step_count, self.time, n_active, dt)
+            if cfg.FindNbrLog and n_scat:
+                print(f"SCT {n_active} {n_scat}")
+
+            step_wall = _wallclock.perf_counter() - t0
+            self.cpu_this_run += step_wall
+            self.cpu_log.add("Gravity", step_wall)
+            self.cpu_log.write(self.step_count, self.time)
+
+            # interruption checks (run.c:152-202)
+            if ckpt.stopfile_present(cfg.OutputDir):
+                stop = True
+            if self.cpu_this_run > 0.85 * cfg.TimeLimitCPU:
+                stop = True
+            if (self.cpu_this_run - self.time_last_restart
+                    >= cfg.CpuTimeBetRestartFile):
+                self.write_restart_file()
+                self.time_last_restart = self.cpu_this_run
+
+        self.write_restart_file()
+        if self.time >= cfg.TimeMax:
+            self.write_snapshot_file(self.snapshot_count)
+            self.snapshot_count += 1
+        return self.step_count
+
+    # ------------------------------------------------------------- I/O pieces
+
+    def _predicted_host_state(self, at_time: Optional[float] = None):
+        t = self.time if at_time is None else at_time
+        pos_pred, vel_pred = integrate.predict_positions(
+            self.particles, jnp.asarray(t, self.dtype), self.consts)
+        if self.cfg.PeriodicBoundariesOn:
+            pos_pred = pos_pred - self.cfg.BoxSize * jnp.floor(
+                pos_pred / self.cfg.BoxSize)
+        return np.asarray(pos_pred), np.asarray(vel_pred)
+
+    def write_snapshot_file(self, count: int):
+        p = self.particles
+        valid = np.asarray(p.valid)
+        pos, vel = self._predicted_host_state()
+        hdr = GadgetHeader(
+            time=self.time,
+            redshift=(1.0 / self.time - 1.0) if self.cfg.ComovingIntegrationOn
+            else 0.0,
+            box_size=self.cfg.BoxSize, omega0=self.cfg.Omega0,
+            omega_lambda=self.cfg.OmegaLambda,
+            hubble_param=self.cfg.HubbleParam,
+        )
+        ngas = int(np.sum(np.asarray(p.ptype) == 0))
+        snap = Snapshot(
+            header=hdr, pos=pos[valid], vel=vel[valid],
+            pid=np.asarray(p.pid)[valid], mass=np.asarray(p.mass)[valid],
+            ptype=np.asarray(p.ptype)[valid],
+            u=np.asarray(p.egy_spec)[valid][:ngas] if ngas else None,
+            rho=np.asarray(p.density)[valid][:ngas] if ngas else None,
+            hsml=np.asarray(p.hsml)[valid][:ngas] if ngas else None,
+        )
+        base = os.path.join(self.cfg.OutputDir,
+                            f"{self.cfg.SnapshotFileBase}_{count:03d}")
+        return write_snapshot(base, snap,
+                              num_files=max(1, self.cfg.NumFilesPerSnapshot))
+
+    def compute_potential(self):
+        """compute_potential (potential.c:18-195) at the current time."""
+        p = self.particles
+        t = jnp.asarray(self.time, self.dtype)
+        pos_pred, _ = integrate.predict_positions(p, t, self.consts)
+        force_fn = self._make_force_fn()
+        soft = jnp.asarray(softening_table(self.cfg, self.time), self.dtype)
+        _, pot = force_fn(pos_pred, p, soft)
+        G, H = self.units.G, self.units.Hubble
+        if self.cfg.ComovingIntegrationOn:
+            if self.cfg.PeriodicBoundariesOn:
+                pot = G * pot
+            else:
+                r2 = jnp.sum(pos_pred * pos_pred, axis=-1)
+                pot = G * pot - 0.5 * self.cfg.Omega0 * H * H * r2
+        else:
+            pot = G * pot
+            if self.cfg.OmegaLambda != 0:
+                r2 = jnp.sum(pos_pred * pos_pred, axis=-1)
+                pot = pot - 0.5 * self.cfg.OmegaLambda * H * H * r2
+        self.particles = dataclasses.replace(p, pot=pot)
+        return pot
+
+    def energy_statistics(self):
+        self.compute_potential()
+        sys = compute_system_state(self.particles)
+        self.energy_log.write(self.time, jax.tree.map(np.asarray, sys))
+        return sys
+
+    def write_restart_file(self):
+        base = os.path.join(self.cfg.OutputDir, self.cfg.RestartFile)
+        run_vars = dict(
+            time=self.time, step_count=self.step_count,
+            snapshot_count=self.snapshot_count,
+            time_last_statistics=self.time_last_statistics,
+            time_of_first_snapshot=self.time_of_first_snapshot,
+            vmax=self.vmax, cpu_this_run=self.cpu_this_run,
+        )
+        return ckpt.write_restart(base, self.particles, run_vars)
+
+    def load_restart_file(self):
+        base = os.path.join(self.cfg.OutputDir, self.cfg.RestartFile)
+        p, rv = ckpt.read_restart(base)
+        self.particles = p
+        self.time = rv["time"]
+        self.step_count = rv["step_count"]
+        self.snapshot_count = rv["snapshot_count"]
+        self.time_last_statistics = rv["time_last_statistics"]
+        self.time_of_first_snapshot = rv["time_of_first_snapshot"]
+        self.vmax = rv["vmax"]
+        self.cpu_this_run = 0.0
+        if self.sys_state_at_start is None:
+            self.sys_state_at_start = jax.tree.map(
+                np.asarray, compute_system_state(p))

@@ -1,0 +1,20 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Mirrors the reference's "mpirun -n 2 on one host" testing mode
+(nbody/README.md:30-37) via XLA host-platform device multiplexing.
+
+The container's sitecustomize registers the axon TPU backend and forces
+``jax_platforms=axon,cpu`` via jax.config, overriding the env var — so we must
+override through jax.config *after* import, and set the host device count flag
+before the first backend initialization.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

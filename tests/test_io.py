@@ -1,0 +1,101 @@
+"""Gadget format-1 I/O: roundtrips and binary layout."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from sidm_tpu.io.gadget import (GadgetHeader, Snapshot, read_snapshot,
+                                write_snapshot)
+from sidm_tpu.io import ics
+
+
+def _make_snap(n=100, ngas=0, seed=0, equal_mass=True):
+    rng = np.random.default_rng(seed)
+    ptype = np.concatenate([np.zeros(ngas, np.int32),
+                            np.ones(n - ngas, np.int32)])
+    mass = (np.full(n, 0.25, np.float32) if equal_mass
+            else rng.uniform(0.1, 1.0, n).astype(np.float32))
+    return Snapshot(
+        header=GadgetHeader(time=1.5, box_size=100.0, omega0=0.3,
+                            omega_lambda=0.7, hubble_param=0.7),
+        pos=rng.uniform(0, 100, (n, 3)).astype(np.float32),
+        vel=rng.normal(size=(n, 3)).astype(np.float32),
+        pid=np.arange(1, n + 1, dtype=np.uint32),
+        mass=mass, ptype=ptype,
+        u=rng.uniform(1, 2, ngas).astype(np.float32) if ngas else None,
+    )
+
+
+def test_roundtrip_equal_mass(tmp_path):
+    snap = _make_snap(128)
+    fn = str(tmp_path / "snp_000")
+    write_snapshot(fn, snap)
+    back = read_snapshot(fn)
+    assert back.n == 128
+    # equal masses go to the header table, not a mass block
+    assert back.header.mass[1] == pytest.approx(0.25)
+    np.testing.assert_allclose(back.pos, snap.pos, rtol=1e-6)
+    np.testing.assert_allclose(back.vel, snap.vel, rtol=1e-6)
+    np.testing.assert_array_equal(back.pid, snap.pid)
+    np.testing.assert_allclose(back.mass, snap.mass, rtol=1e-6)
+    assert back.header.time == pytest.approx(1.5)
+    assert back.header.box_size == pytest.approx(100.0)
+
+
+def test_roundtrip_individual_masses(tmp_path):
+    snap = _make_snap(64, equal_mass=False)
+    fn = str(tmp_path / "snp_001")
+    write_snapshot(fn, snap)
+    back = read_snapshot(fn)
+    np.testing.assert_allclose(back.mass, snap.mass, rtol=1e-6)
+
+
+def test_roundtrip_with_gas(tmp_path):
+    snap = _make_snap(96, ngas=32)
+    fn = str(tmp_path / "snp_002")
+    write_snapshot(fn, snap)
+    back = read_snapshot(fn)
+    assert int((back.ptype == 0).sum()) == 32
+    np.testing.assert_allclose(back.u, snap.u, rtol=1e-6)
+
+
+def test_multifile_roundtrip(tmp_path):
+    snap = _make_snap(200)
+    fn = str(tmp_path / "snp_003")
+    files = write_snapshot(fn, snap, num_files=2)
+    assert len(files) == 2
+    back = read_snapshot(fn)
+    assert back.n == 200
+    np.testing.assert_allclose(np.sort(back.pid), np.sort(snap.pid))
+
+
+def test_binary_layout_f77_markers(tmp_path):
+    """First 4 bytes must be the 256-byte header record marker — this is what
+    makes files readable by the reference's read_ic (read_ic.c:118)."""
+    snap = _make_snap(16)
+    fn = str(tmp_path / "snp_004")
+    write_snapshot(fn, snap)
+    raw = open(fn, "rb").read()
+    assert struct.unpack("<i", raw[:4])[0] == 256
+    assert struct.unpack("<i", raw[4 + 256:4 + 260])[0] == 256
+    # next block: positions, 16*3*4 bytes
+    assert struct.unpack("<i", raw[264:268])[0] == 16 * 12
+
+
+def test_header_256_bytes():
+    assert len(GadgetHeader().tobytes()) == 256
+
+
+def test_ic_generators_basic():
+    for name, (pos, vel, m) in {
+        "plummer": ics.plummer(500, seed=3),
+        "hernquist": ics.hernquist(500, seed=3),
+        "nfw": ics.nfw(500, rho0=1.49e-4, rs=11.14356, G=43007.1, seed=3),
+    }.items():
+        assert pos.shape == (500, 3) and vel.shape == (500, 3)
+        assert np.isfinite(pos).all() and np.isfinite(vel).all(), name
+        assert m.sum() > 0
+        # roughly centered
+        com = (m[:, None] * pos).sum(0) / m.sum()
+        assert np.linalg.norm(com) < 0.5 * np.abs(pos).max()
