@@ -100,9 +100,7 @@ def direct_gravity(
     pot = pot.reshape(npad_t)[:n]
     # remove self-potential: wp(0) = -2.8 -> phi_self = -2.8*m/h (potential.c:136)
     if with_potential:
-        h_self = 2.8 * eps
-        pot = pot + 2.8 * mass / h_self
-        if ewald is not None:
-            # periodic self-interaction constant (Ewald psi(0) = 2.8372975/L)
-            pot = pot + 2.8372975 * mass / box
+        # the Ewald self term psi(0) (periodic lattice self-energy) stays, as
+        # in the reference tree walk
+        pot = pot + mass / eps
     return acc, pot

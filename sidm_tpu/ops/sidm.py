@@ -1,0 +1,347 @@
+"""SIDM Direct-Simulation-Monte-Carlo pair scattering.
+
+Vectorized counterpart of ``sidm()`` (nbody/sidm.c:57-627) and its support
+loops (``setup_nbr_sidm`` :630-805, ``sidm_ensure_neighbours`` :814-968).
+
+Per active collisionless particle i (dt = 2*(Time - CurrentTime), comoving
+dt_h0 = dt/s(a)):
+
+1. First-stage gate: P_max = C_Pmax * m_i * h_i^-3 * dt_h0 vs one uniform
+   (sidm.c:338-346). If the gate fails (the overwhelmingly common case) the
+   neighbour scan contributes nothing.
+2. Second stage: cumulative kernel-weighted pair probabilities
+   P_j = 0.5 * m_j * W(r;h_i) * sigma(v_rel) * v_rel * dt_h0 accumulated in
+   candidate order; the first neighbour pushing the cumulative sum past the
+   SAME uniform becomes the scattering partner (sidm.c:352-388). Any fixed
+   enumeration order selects partner j with probability exactly P_j.
+3. Velocity kick: isotropic direction n, Delta = -v_rel + |v_rel| n,
+   dv_i = m_j/(m_i+m_j) * Delta (sidm.c:446-452). The partner recoil is
+   dv_j = -m_i/(m_i+m_j) * Delta — this is momentum-exact for unequal masses
+   where the reference assigns -dv_i (exact only for equal masses; its own
+   comment flags the approximation, sidm.c:341-342).
+4. CROSS_SECTION_TYPE 4 adds an angular rejection
+   1/(1 + beta^2 sin^2(theta/2))^2 after partner selection (sidm.c:391-438);
+   a rejected angle cancels the scattering for this step (the reference
+   resumes scanning later neighbours — an O(P^2) difference).
+
+Differences from the reference, by design:
+* Self-pairs (j == i) are excluded from the probability sum; the reference
+  enumerates self in the neighbour list where it contributes zero for
+  velocity-proportional cross sections but a finite spurious term for type 1.
+* Double-scattering prevention is a deterministic greedy matching by target
+  index (a ``while_loop`` of conflict-free rounds) instead of the sequential
+  ID=0 sentinel + keep-first merge + confirmation handshake
+  (sidm.c:191-194,480-490,543-603). The result is reproducible regardless of
+  device count or sharding.
+* The neighbour-count validity band (sidm.c:512-519) holds by construction:
+  h is refreshed every step as the k-th-neighbour radius.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..constants import SCAT_KERNEL_FACTOR
+from ..cosmo import drift_factor
+from ..kernels import sph_kernel
+from ..rng import particle_uniforms, random_directions
+from ..sidm_common import cross_section_co, sidm_cmax, sigma_v_product
+from ..state import Particles
+
+
+class SidmParams(NamedTuple):
+    cross_section_internal: float
+    cross_section_type: int
+    yukawa_velocity: float
+    cross_section_vel_scale: float
+    cross_section_pow_law: float
+    des_num_ngb: int
+    max_num_ngb_dev: int
+    comoving: bool
+    hubble: float
+    omega0: float
+    omega_lambda: float
+    cap: int = 96
+    block: int = 1024
+    n_levels: int = 12
+
+
+def make_sidm_step(cfg, units, consts):
+    params = SidmParams(
+        cross_section_internal=units.CrossSectionInternal,
+        cross_section_type=cfg.CrossSectionType,
+        yukawa_velocity=cfg.YukawaVelocity,
+        cross_section_vel_scale=cfg.CrossSectionVelScale,
+        cross_section_pow_law=cfg.CrossSectionPowLaw,
+        des_num_ngb=cfg.DesNumNgb,
+        max_num_ngb_dev=cfg.MaxNumNgbDeviation,
+        comoving=bool(cfg.ComovingIntegrationOn),
+        hubble=units.Hubble,
+        omega0=cfg.Omega0,
+        omega_lambda=cfg.OmegaLambda,
+    )
+    box = cfg.BoxSize if cfg.PeriodicBoundariesOn else 0.0
+
+    def fn(p, pos_pred, time, active, vmax, key):
+        return sidm_scatter(p, pos_pred, time, active, vmax, key, params,
+                            box=box)
+
+    return fn
+
+
+def update_hsml(p: Particles, pos_pred, table, active, params: SidmParams):
+    """Refresh hsml_vd as the DesNumNgb-th neighbour radius at the predicted
+    positions (replaces setup_nbr_sidm + sidm_ensure_neighbours)."""
+    from .neighbors import knn_radius
+
+    n = pos_pred.shape[0]
+    block = min(params.block, n)
+    nb = -(-n // block)
+    npad = nb * block
+
+    warm = jnp.where(p.hsml_vd > 0, p.hsml_vd, 2.0 * table.s0)
+    pos_q = jnp.pad(pos_pred, ((0, npad - n), (0, 0)))
+    type_q = jnp.pad(p.ptype, (0, npad - n), constant_values=-1)
+    h_q = jnp.pad(warm, (0, npad - n), constant_values=1.0)
+
+    def one(args):
+        pq, tq, hq = args
+        return knn_radius(table, pos_pred, pq, tq, hq, params.des_num_ngb,
+                          cap=params.cap, n_iter=3)
+
+    h, cnt, ovf = lax.map(one, (pos_q.reshape(nb, block, 3),
+                                type_q.reshape(nb, block),
+                                h_q.reshape(nb, block)))
+    h = h.reshape(-1)[:n]
+    cnt = cnt.reshape(-1)[:n].astype(jnp.int32)
+    upd = p.is_collisionless & active
+    return dataclasses.replace(
+        p,
+        hsml_vd=jnp.where(upd, h, p.hsml_vd),
+        ngb_vd=jnp.where(upd, cnt, p.ngb_vd),
+    )
+
+
+def sidm_scatter(p: Particles, pos_pred, time, active, vmax, key,
+                 params: SidmParams, box=0.0):
+    """One DSMC scattering pass. Returns (particles', n_scattered)."""
+    from .neighbors import build_table
+
+    n = pos_pred.shape[0]
+    dtype = pos_pred.dtype
+
+    # ---- neighbour table at predicted positions ----
+    # Base cell size: the smallest current smoothing length, so the finest
+    # level resolves the densest region. Cold start (hsml_vd == 0) falls back
+    # to the k-neighbour radius of a uniform distribution at the mean density.
+    if box:
+        vol = jnp.asarray(box, dtype) ** 3
+    else:
+        ext = (jnp.max(jnp.where(p.valid[:, None], pos_pred, -jnp.inf), axis=0)
+               - jnp.min(jnp.where(p.valid[:, None], pos_pred, jnp.inf), axis=0))
+        vol = jnp.prod(jnp.maximum(ext, 1e-10))
+    n_valid = jnp.maximum(jnp.sum(p.valid), 1)
+    r_k = (3.0 * params.des_num_ngb * vol
+           / (4.0 * jnp.pi * n_valid)) ** (1.0 / 3.0)
+    hpos = jnp.where(p.hsml_vd > 0, p.hsml_vd, jnp.inf)
+    hmin = jnp.min(jnp.where(p.is_collisionless, hpos, jnp.inf))
+    s0 = jnp.where(jnp.isfinite(hmin), jnp.maximum(hmin, 1e-12), r_k / 2.0)
+    table = build_table(pos_pred, p.ptype, p.valid, s0=s0, box=box,
+                        n_levels=params.n_levels)
+
+    # ---- refresh smoothing lengths (k-th neighbour radius) ----
+    p = update_hsml(p, pos_pred, table, active, params)
+
+    # ---- constants of this step ----
+    dt = 2.0 * (time - p.current_time)
+    s_inv = drift_factor(time, params.hubble, params.omega0,
+                         params.omega_lambda, params.comoving)
+    dt_h0 = jnp.where(active, dt, 0.0) * s_inv
+
+    sigma_co = cross_section_co(time, params.cross_section_internal,
+                                params.cross_section_type, params.comoving)
+    c_pmax = sidm_cmax(
+        time, vmax, params.cross_section_internal, params.cross_section_type,
+        params.yukawa_velocity, params.cross_section_vel_scale,
+        params.des_num_ngb, params.max_num_ngb_dev,
+        params.hubble, params.omega0, params.omega_lambda,
+        params.comoving, per_dt_h0=True)
+
+    # pending-kick particles may not scatter again (ID=0 sentinel + dVel
+    # checks, sidm.c:191-194,345-346,356-357)
+    has_pending = jnp.any(p.dvel != 0.0, axis=-1)
+    eligible = (active & p.is_collisionless & p.valid
+                & (~has_pending) & (dt_h0 > 0))
+
+    # per-particle uniforms keyed by (step, pid): [gate/select, angle-accept,
+    # cos-theta]
+    u = particle_uniforms(key, p.pid, 3)
+    rand = u[:, 0].astype(dtype)
+
+    h_scat = SCAT_KERNEL_FACTOR * p.hsml_vd
+    hinv3 = jnp.where(h_scat > 0, 1.0 / jnp.maximum(h_scat, 1e-30) ** 3, 0.0)
+    p_max = c_pmax * p.mass * hinv3 * dt_h0
+    gate = eligible & (p_max >= rand)
+
+    # ---- blocked partner-selection scan ----
+    block = min(params.block, n)
+    nb = -(-n // block)
+    npad = nb * block
+
+    def pad1(x, fill=0):
+        return jnp.pad(x, (0, npad - n), constant_values=fill)
+
+    args = (
+        jnp.pad(pos_pred, ((0, npad - n), (0, 0))),
+        jnp.pad(p.vel, ((0, npad - n), (0, 0))),
+        pad1(h_scat, 1.0),
+        pad1(p.ptype, -1),
+        pad1(gate, False),
+        pad1(rand, 2.0),
+        pad1(dt_h0, 0.0),
+        pad1(jnp.arange(n, dtype=jnp.int32), -1),
+    )
+
+    from .neighbors import gather_candidates
+
+    def scan_block(blk):
+        bpos, bvel, bh, btype, bgate, brand, bdt, bidx = blk
+        idx, mask, _ = gather_candidates(table, bpos, btype, bh,
+                                         cap=params.cap)
+        d = pos_pred[idx] - bpos[:, None, :]
+        if box:
+            d = d - box * jnp.round(d / box)
+        r2 = jnp.sum(d * d, axis=-1)
+        r = jnp.sqrt(r2)
+        # neighbour validity: same-type candidates (mask), inside kernel
+        # support, not self, no pending kick (sidm.c:356-357)
+        ok = (mask & (r < bh[:, None]) & (idx != bidx[:, None])
+              & (~has_pending[idx]))
+        u_r = r / bh[:, None]
+        wk = sph_kernel(u_r) / (bh[:, None] ** 3)
+
+        rv_vec = bvel[:, None, :] - p.vel[idx]               # (B,C,3)
+        rv = jnp.sqrt(jnp.sum(rv_vec * rv_vec, axis=-1))
+        sv = sigma_v_product(rv, time, sigma_co, params.cross_section_type,
+                             params.yukawa_velocity,
+                             params.cross_section_vel_scale,
+                             params.cross_section_pow_law, params.comoving)
+        prob = jnp.where(ok, 0.5 * p.mass[idx] * wk * sv * bdt[:, None], 0.0)
+        cum = jnp.cumsum(prob, axis=1)
+        crossed = bgate[:, None] & (cum >= brand[:, None])
+        # first crossing: argmax over boolean gives first True
+        any_cross = jnp.any(crossed, axis=1)
+        first = jnp.argmax(crossed, axis=1)
+        partner = jnp.where(any_cross, jnp.take_along_axis(
+            idx, first[:, None], axis=1)[:, 0], -1)
+        return partner, any_cross
+
+    partner, hit = lax.map(scan_block, tuple(
+        a.reshape((nb, block) + a.shape[1:]) for a in args))
+    partner = partner.reshape(-1)[:n]
+    hit = hit.reshape(-1)[:n]
+
+    # ---- type-4 angular rejection (sidm.c:391-438) ----
+    cos_theta = None
+    if params.cross_section_type == 4:
+        vc = params.yukawa_velocity / jnp.sqrt(time) if params.comoving \
+            else params.yukawa_velocity
+        pj = jnp.clip(partner, 0, n - 1)
+        rel = p.vel - p.vel[pj]
+        rv = jnp.sqrt(jnp.sum(rel * rel, axis=-1))
+        beta = rv / vc
+        cos_theta = 2.0 * u[:, 2].astype(dtype) - 1.0
+        sin22 = 0.5 * (1.0 - cos_theta)
+        denom = 1.0 + beta * beta * sin22
+        accept = (u[:, 1].astype(dtype) < 1.0 / (denom * denom)) & (rv > 0)
+        hit = hit & accept
+
+    proposal = jnp.where(hit & (partner >= 0), partner, -1)
+
+    # ---- greedy-by-index conflict resolution ----
+    accepted = _resolve_conflicts(proposal, n)
+
+    # ---- kicks ----
+    tgt = jnp.arange(n, dtype=jnp.int32)
+    pj = jnp.clip(proposal, 0, n - 1)
+    rel = p.vel - p.vel[pj]                                  # v_i - v_j
+    rv = jnp.sqrt(jnp.sum(rel * rel, axis=-1))
+    nhat = random_directions(key, p.pid).astype(dtype)
+    if params.cross_section_type == 4:
+        # scatter into polar angle theta around v_rel with random azimuth
+        sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+        nperp = _perp_unit(rel, nhat)
+        delta = -rel + cos_theta[:, None] * rel + (sin_t * rv)[:, None] * nperp
+    else:
+        delta = -rel + rv[:, None] * nhat
+
+    mi = p.mass
+    mj = p.mass[pj]
+    msum = jnp.maximum(mi + mj, 1e-30)
+    dv_i = (mj / msum)[:, None] * delta
+    dv_j = -(mi / msum)[:, None] * delta
+
+    dvel = p.dvel
+    dvel = dvel + jnp.where(accepted[:, None], dv_i, 0.0)
+    dvel = dvel.at[pj].add(jnp.where(accepted[:, None], dv_j, 0.0))
+
+    n_scattered = jnp.sum(accepted.astype(jnp.int32))
+    p = dataclasses.replace(p, dvel=dvel)
+    return p, n_scattered
+
+
+def _perp_unit(a, b):
+    """Unit vector perpendicular to a (and b), cf. perp() sidm.c:29-53."""
+    c = jnp.cross(a, b)
+    norm = jnp.sqrt(jnp.sum(c * c, axis=-1, keepdims=True))
+    # degenerate (a || b or zeros): fall back to any perpendicular of a
+    alt = jnp.cross(a, jnp.array([1.0, 0.0, 0.0], a.dtype) + 0 * a)
+    alt_n = jnp.sqrt(jnp.sum(alt * alt, axis=-1, keepdims=True))
+    use_alt = norm < 1e-20
+    c = jnp.where(use_alt, alt, c)
+    norm = jnp.where(use_alt, alt_n, norm)
+    return c / jnp.maximum(norm, 1e-30)
+
+
+def _resolve_conflicts(proposal, n):
+    """Greedy matching by target index.
+
+    Emulates the reference's sequential processing (earlier targets scatter
+    first; later ones skip already-scattered particles) as rounds of
+    conflict-free executions: a proposal (i -> j) executes when i is the
+    lowest-index pending proposal touching either i or j. Proposals whose
+    endpoints get taken are cancelled.
+    """
+    idx = jnp.arange(n, dtype=jnp.int32)
+    pending = proposal >= 0
+    accepted = jnp.zeros(n, bool)
+
+    def cond(state):
+        pending, _ = state
+        return jnp.any(pending)
+
+    def body(state):
+        pending, accepted = state
+        big = jnp.int32(n)
+        prop_i = jnp.where(pending, idx, big)
+        pj = jnp.clip(proposal, 0, n - 1)
+        # min pending proposer touching each particle
+        touch = jnp.full(n, big, jnp.int32)
+        touch = touch.at[idx].min(prop_i)                 # as target itself
+        touch = touch.at[pj].min(jnp.where(pending, idx, big))  # as partner
+        safe = pending & (touch[idx] == idx) & (touch[pj] == idx)
+        accepted = accepted | safe
+        # endpoints of executed proposals are now taken
+        taken = jnp.zeros(n, bool)
+        taken = taken.at[idx].max(safe)
+        taken = taken.at[pj].max(safe)
+        pending = pending & (~safe) & (~taken) & (~taken[pj])
+        return pending, accepted
+
+    _, accepted = lax.while_loop(cond, body, (pending, accepted))
+    return accepted

@@ -158,17 +158,29 @@ class Simulation:
             comoving=bool(cfg.ComovingIntegrationOn),
         )
 
+    def _ewald_table(self):
+        """Ewald correction table (ewald_init, ewald.c:35-127), disk-cached."""
+        if not self.cfg.PeriodicBoundariesOn:
+            return None
+        if getattr(self, "_ewald_cache", None) is None:
+            from .ops.ewald import build_ewald_table
+            self._ewald_cache = build_ewald_table(
+                self.cfg.BoxSize, en=self.cfg.EwaldGridSize,
+                cache_dir=self.cfg.OutputDir or ".")
+        return self._ewald_cache
+
     def _make_force_fn(self):
         if self._force_fn is not None:
             return self._force_fn
         box = self.cfg.BoxSize if self.cfg.PeriodicBoundariesOn else None
+        ewald = self._ewald_table()
         if self.cfg.ForceMethod == "direct":
             from .ops.direct import direct_gravity
 
             def force(pos_pred, p, soft_tab):
                 eps = soft_tab[jnp.clip(p.ptype, 0, 5)]
                 return direct_gravity(pos_pred, jnp.where(p.valid, p.mass, 0.0),
-                                      eps, box=box)
+                                      eps, box=box, ewald=ewald)
         else:
             from .ops.treeforce import tree_gravity
 
@@ -179,7 +191,8 @@ class Simulation:
                     p.old_acc, box=box,
                     theta=self.cfg.ErrTolTheta,
                     opening=self.cfg.TypeOfOpeningCriterion,
-                    err_tol_force_acc=self.cfg.ErrTolForceAcc)
+                    err_tol_force_acc=self.cfg.ErrTolForceAcc,
+                    ewald=ewald)
         return force
 
     def _make_sidm_fn(self):
@@ -222,6 +235,11 @@ class Simulation:
             p = integrate.advance(p, t_next, active, consts)
             if consts.reflection_radius > 0:
                 p = integrate.reflect(p, consts.reflection_radius)
+            if consts.periodic:
+                # the reference wraps lazily at domain-decomposition cadence
+                # (run.c:119-147); wrapping every step is free here and the
+                # minimum-image force is invariant to it
+                p = integrate.box_wrap(p, consts.box_size)
 
             new_mpt = timestep.find_timesteps(p, t_next, active, vmax, params,
                                               first=first)

@@ -1,0 +1,141 @@
+"""Barnes-Hut tree force vs the direct-summation oracle.
+
+The oracle strategy follows the reference: force_treeevaluate_direct
+(forcetree.c:1896-1975) exists precisely to validate the tree walk; the
+BASELINE bar is p99 relative force error <= 1e-3.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from sidm_tpu.io import ics
+from sidm_tpu.ops.direct import direct_gravity
+from sidm_tpu.ops.tree import build_octree
+from sidm_tpu.ops.treeforce import WalkConfig, tree_gravity
+
+
+def _err(acc_t, acc_d):
+    acc_t, acc_d = np.asarray(acc_t), np.asarray(acc_d)
+    return (np.linalg.norm(acc_t - acc_d, axis=1)
+            / np.maximum(np.linalg.norm(acc_d, axis=1), 1e-12))
+
+
+def test_tree_build_mass_conservation():
+    pos, _, m = ics.plummer(1000, seed=3)
+    tree = build_octree(jnp.asarray(pos, jnp.float32),
+                        jnp.asarray(m, jnp.float32),
+                        jnp.full(1000, 0.1, jnp.float32),
+                        jnp.ones(1000, bool))
+    for l in range(tree.depth + 1):
+        total = float(jnp.sum(tree.node_mass[l]))
+        assert total == pytest.approx(m.sum(), rel=1e-4), f"level {l}"
+    # root COM = global COM
+    com = np.asarray(tree.node_com[0][0])
+    ref = (m[:, None] * pos).sum(0) / m.sum()
+    np.testing.assert_allclose(com, ref, atol=1e-4)
+
+
+def test_tree_child_links_partition():
+    pos, _, m = ics.plummer(500, seed=4)
+    tree = build_octree(jnp.asarray(pos, jnp.float32),
+                        jnp.asarray(m, jnp.float32),
+                        jnp.full(500, 0.1, jnp.float32),
+                        jnp.ones(500, bool))
+    for l in range(tree.depth):
+        n_l = int(tree.n_nodes[l])
+        n_c = int(tree.n_nodes[l + 1])
+        cs = np.asarray(tree.child_start[l][:n_l])
+        cc = np.asarray(tree.child_count[l][:n_l])
+        # children partition the next level exactly
+        assert cc.sum() == n_c
+        ends = cs + cc
+        assert (cs[1:] == ends[:-1]).all()
+        # each node's particle count equals the sum of its children's
+        cnt_l = np.asarray(tree.node_count[l][:n_l])
+        cnt_c = np.asarray(tree.node_count[l + 1][:n_c])
+        for i in range(min(n_l, 20)):
+            assert cnt_l[i] == cnt_c[cs[i]:ends[i]].sum()
+
+
+def test_bh_criterion_p99_below_1e3():
+    """BASELINE target: p99 relative error <= 1e-3 at theta=0.5."""
+    pos, _, m = ics.plummer(4000, seed=1)
+    pos = jnp.asarray(pos, jnp.float32)
+    mass = jnp.asarray(m, jnp.float32)
+    eps = jnp.full(4000, 0.02, jnp.float32)
+    acc_t, pot_t = tree_gravity(pos, mass, eps, jnp.zeros(4000, jnp.float32),
+                                theta=0.5, opening=0)
+    acc_d, pot_d = direct_gravity(pos, mass, eps)
+    err = _err(acc_t, acc_d)
+    assert np.percentile(err, 99) < 1e-3
+    pot_err = np.abs(np.asarray(pot_t) - np.asarray(pot_d)) \
+        / np.abs(np.asarray(pot_d))
+    assert np.percentile(pot_err, 99) < 1e-3
+
+
+def test_relative_criterion_accuracy():
+    """TypeOfOpeningCriterion=1 with OldAcc from a bootstrap BH pass."""
+    pos, _, m = ics.hernquist(3000, seed=2)
+    pos = jnp.asarray(pos, jnp.float32)
+    mass = jnp.asarray(m, jnp.float32)
+    eps = jnp.full(3000, 0.02, jnp.float32)
+    zero = jnp.zeros(3000, jnp.float32)
+    acc0, _ = tree_gravity(pos, mass, eps, zero, theta=0.5, opening=1)
+    old = jnp.linalg.norm(acc0, axis=1)
+    acc1, _ = tree_gravity(pos, mass, eps, old, theta=0.5, opening=1,
+                           err_tol_force_acc=0.005)
+    acc_d, _ = direct_gravity(pos, mass, eps)
+    err = _err(acc1, acc_d)
+    assert np.percentile(err, 99) < 2e-3
+    assert err.mean() < 3e-4
+
+
+def test_theta_controls_error():
+    pos, _, m = ics.plummer(2000, seed=5)
+    pos = jnp.asarray(pos, jnp.float32)
+    mass = jnp.asarray(m, jnp.float32)
+    eps = jnp.full(2000, 0.05, jnp.float32)
+    zero = jnp.zeros(2000, jnp.float32)
+    acc_d, _ = direct_gravity(pos, mass, eps)
+    e_tight = _err(tree_gravity(pos, mass, eps, zero, theta=0.3,
+                                opening=0)[0], acc_d)
+    e_loose = _err(tree_gravity(pos, mass, eps, zero, theta=0.8,
+                                opening=0)[0], acc_d)
+    assert e_tight.mean() < e_loose.mean()
+    assert np.percentile(e_tight, 99) < np.percentile(e_loose, 99)
+
+
+def test_padding_and_unsorted_output_order():
+    rng = np.random.default_rng(6)
+    n = 700
+    pos = rng.normal(size=(n, 3)).astype(np.float32)
+    mass = np.abs(rng.normal(size=n)).astype(np.float32) + 0.1
+    eps = np.full(n, 0.05, np.float32)
+    # pad with inert particles
+    pos_p = np.concatenate([pos, np.zeros((68, 3), np.float32)])
+    mass_p = np.concatenate([mass, np.zeros(68, np.float32)])
+    eps_p = np.concatenate([eps, np.full(68, 1.0, np.float32)])
+    zero = jnp.zeros(n + 68, jnp.float32)
+    acc_p, pot_p = tree_gravity(jnp.asarray(pos_p), jnp.asarray(mass_p),
+                                jnp.asarray(eps_p), zero, theta=0.4,
+                                opening=0)
+    acc, pot = tree_gravity(jnp.asarray(pos), jnp.asarray(mass),
+                            jnp.asarray(eps), zero[:n], theta=0.4, opening=0)
+    np.testing.assert_allclose(np.asarray(acc_p[:n]), np.asarray(acc),
+                               rtol=1e-4, atol=1e-6)
+    assert np.abs(np.asarray(acc_p[n:])).max() == 0.0
+
+
+def test_momentum_near_zero():
+    pos, _, m = ics.plummer(2000, seed=8)
+    pos = jnp.asarray(pos, jnp.float32)
+    mass = jnp.asarray(m, jnp.float32)
+    eps = jnp.full(2000, 0.05, jnp.float32)
+    acc, _ = tree_gravity(pos, mass, eps, jnp.zeros(2000, jnp.float32),
+                          theta=0.5, opening=0)
+    net = np.asarray(jnp.sum(mass[:, None] * acc, axis=0))
+    typ = float(jnp.mean(jnp.abs(mass[:, None] * acc))) * 2000
+    # tree forces are not exactly pairwise-symmetric; net force should still
+    # be tiny relative to the summed magnitudes
+    assert np.abs(net).max() / typ < 2e-3
