@@ -36,6 +36,8 @@ class StepConsts(NamedTuple):
     no_force: bool
     no_scatter: bool
     reflection_radius: float  # 0 = off
+    min_egy_spec: float = 0.0
+    min_gas_hsml: float = 0.0
 
 
 def predict_positions(p: Particles, time, consts: StepConsts):
@@ -94,9 +96,22 @@ def advance(p: Particles, time, active, consts: StepConsts) -> Particles:
 
     new_current = jnp.where(active, time + 0.5 * dt, p.current_time)
     dvel = jnp.where(active[:, None], 0.0, p.dvel)
+
+    # gas thermodynamic updates (predict.c:300-320): u with the MinEgySpec
+    # floor, rho advanced a half step, hsml by its full-step rate
+    gas_act = active & p.is_gas
+    egy = jnp.where(gas_act,
+                    jnp.maximum(consts.min_egy_spec,
+                                p.egy_spec + p.dt_egy * dt), p.egy_spec)
+    density = jnp.where(gas_act, p.density + p.dt_density * 0.5 * dt,
+                        p.density)
+    hsml = jnp.where(gas_act,
+                     jnp.maximum(consts.min_gas_hsml,
+                                 p.hsml + p.dt_hsml * dt), p.hsml)
     return Particles(
         **{**_fields(p), "pos": pos, "vel": vel, "dvel": dvel,
-           "current_time": new_current})
+           "current_time": new_current, "egy_spec": egy,
+           "density": density, "hsml": hsml})
 
 
 def reflect(p: Particles, radius: float) -> Particles:

@@ -9,27 +9,30 @@ sidm.c:814-968, ``setup_smoothinglengths*`` init.c:234-513).
 Design
 ------
 * Particles are hashed into cubic cells at L dyadic levels (cell size
-  ``s_l = s0 * 2^l``); all (level, type, cell) keys are concatenated and
-  sorted ONCE per build — a query is two ``searchsorted`` lookups per stencil
-  cell. No pointers, no recursion, fully static shapes.
+  ``s_l = s0 * 2^l``); all (level, type, cell) keys are sorted ONCE per
+  build. Bucket (start, count) tables give O(1) lookups (binary search over
+  millions of entries is a dependent-gather chain — slow on TPU).
+* The per-particle payload (position, velocity, mass, type/flags) is
+  PRE-PERMUTED into the sorted entry order at build time: a query then reads
+  each stencil cell's candidates as CONTIGUOUS 32-byte rows instead of
+  random per-particle gathers — the difference between ~1 and ~16 HBM
+  transactions per candidate (TPU random gathers move 512-byte sublanes).
 * A query at position x with radius h uses the smallest level with
-  ``s_l >= h``; its 3^3 cell stencil then fully covers the ball. Neighbour
-  type equals the query type (the reference searches ``trees[parttype]``,
+  ``s_l >= h``; its 3^3 stencil then fully covers the ball. Neighbour type
+  equals the query type (the reference searches ``trees[parttype]``,
   forcetree.c:2181).
-* Smoothing lengths: instead of bisecting h until the count lands in
-  [DesNumNgb-Dev, DesNumNgb+Dev] (with up to 60 re-runs of the whole
-  interaction in the reference), h is set directly to the k-th smallest
-  neighbour distance (k = DesNumNgb, self included) by a top-k over the
-  candidate set — the count condition holds by construction.
-* Cells are open-hashed into H buckets; collisions only add spurious
-  candidates that the distance test filters out.
+* Smoothing lengths come from a top-k k-th-distance fixed point (self
+  included, k = DesNumNgb) — the reference's count band holds by
+  construction, with no bisection re-runs.
 
-All functions are jit-compatible; shapes depend only on (N, L, H, cap).
+Payload row layout (PAYLOAD_DIM = 8 f32):
+  [0:3] position, [3:6] velocity, [6] mass, [7] aux = ptype + 8*flag
+where ``flag`` marks particles excluded as scattering partners (pending
+SIDM kick). All functions are jit-compatible.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -37,17 +40,36 @@ import jax.numpy as jnp
 from jax import lax
 
 U32 = jnp.uint32
+PAYLOAD_DIM = 8
 
 
 class NeighborTable(NamedTuple):
-    sorted_keys: jax.Array   # (L*N,) int32, sorted combined keys
-    sorted_part: jax.Array   # (L*N,) int32, particle index for each entry
-    ptype: jax.Array         # (N,) int32 particle types (for collision filter)
-    origin: jax.Array        # (3,) grid origin
+    rows: jax.Array          # (L*N, 8) f32 payload in sorted entry order
+    sorted_part: jax.Array   # (L*N,) int32 particle index per entry
+    bucket_start: jax.Array  # (L*H,) int32
+    bucket_count: jax.Array  # (L*H,) int32
+    origin: jax.Array        # (3,)
     s0: jax.Array            # () base cell size
     box: jax.Array           # () box size (0 = non-periodic)
     n_levels: int            # static
     n_hash: int              # static
+
+
+def make_payload(pos, vel, mass, ptype, flag=None):
+    """Pack the standard payload rows (see module docstring)."""
+    aux = jnp.clip(ptype, 0, 7).astype(pos.dtype)
+    if flag is not None:
+        aux = aux + 8.0 * flag.astype(pos.dtype)
+    return jnp.concatenate([
+        pos, vel, mass[:, None], aux[:, None]], axis=1)
+
+
+def payload_type(rows):
+    return jnp.mod(rows[..., 7], 8.0).astype(jnp.int32)
+
+
+def payload_flag(rows):
+    return rows[..., 7] >= 8.0
 
 
 def _mix(h):
@@ -60,7 +82,6 @@ def _mix(h):
 
 
 def _cell_hash(ix, iy, iz, ptype, n_hash):
-    """Hash integer cell coords + particle type into [0, n_hash)."""
     h = (ix.astype(U32) * U32(0x9E3779B1)
          ^ iy.astype(U32) * U32(0x85EBCA77)
          ^ iz.astype(U32) * U32(0xC2B2AE3D)
@@ -69,29 +90,28 @@ def _cell_hash(ix, iy, iz, ptype, n_hash):
 
 
 def _cell_coords(pos, origin, cell_size, box, level_scale):
-    """Integer cell coords at a level; periodic runs wrap into [0, dims)."""
     s = cell_size * level_scale
     ix = jnp.floor((pos - origin) / s).astype(jnp.int32)
     dims = jnp.maximum(jnp.floor(box / s), 1.0).astype(jnp.int32)
-    # periodic: recompute with the snapped cell size so dims*s_eff == box
     s_eff = jnp.where(box > 0, box / dims.astype(pos.dtype), s)
     ixp = jnp.floor((pos - origin) / s_eff).astype(jnp.int32)
     ixp = jnp.remainder(ixp, dims)
     return jnp.where(box > 0, ixp, ix), dims
 
 
-def build_table(pos, ptype, valid, *, s0, box=0.0, n_levels: int = 8,
-                n_hash: int = 1 << 18) -> NeighborTable:
-    """Build the combined multi-level cell hash table.
-
-    ``s0`` is the base (finest) cell size; levels cover radii up to
-    s0 * 2^(n_levels-1). Invalid (padding) particles get a sentinel key that
-    sorts last and is never queried.
-    """
+def build_table(pos, ptype, valid, *, s0, box=0.0, n_levels: int = 10,
+                n_hash: int = 1 << 18, payload=None) -> NeighborTable:
+    """Build the table. ``payload`` defaults to positions-only rows (velocity
+    and mass zero) — pass :func:`make_payload` output for interaction
+    kernels."""
     n = pos.shape[0]
     dtype = pos.dtype
+    if payload is None:
+        payload = make_payload(pos, jnp.zeros_like(pos),
+                               jnp.zeros(n, dtype), ptype)
     origin = jnp.where(box > 0, jnp.zeros(3, dtype), jnp.min(pos, axis=0))
-    posw = jnp.where(jnp.asarray(box) > 0, pos - box * jnp.floor(pos / box), pos)
+    posw = jnp.where(jnp.asarray(box) > 0, pos - box * jnp.floor(pos / box),
+                     pos)
 
     keys = []
     for l in range(n_levels):
@@ -104,10 +124,21 @@ def build_table(pos, ptype, valid, *, s0, box=0.0, n_levels: int = 8,
     all_keys = jnp.concatenate(keys)
     part = jnp.tile(jnp.arange(n, dtype=jnp.int32), n_levels)
     order = jnp.argsort(all_keys)
+    sorted_keys = all_keys[order]
+    sorted_part = part[order]
+
+    lh = n_levels * n_hash
+    seg = jnp.clip(sorted_keys, 0, lh)
+    counts = jax.ops.segment_sum(jnp.ones_like(seg), seg,
+                                 num_segments=lh + 1,
+                                 indices_are_sorted=True)[:lh]
+    starts = jnp.cumsum(counts) - counts
+
     return NeighborTable(
-        sorted_keys=all_keys[order].astype(jnp.int32),
-        sorted_part=part[order],
-        ptype=ptype.astype(jnp.int32),
+        rows=payload[sorted_part],
+        sorted_part=sorted_part,
+        bucket_start=starts.astype(jnp.int32),
+        bucket_count=counts.astype(jnp.int32),
         origin=origin,
         s0=jnp.asarray(s0, dtype),
         box=jnp.asarray(box, dtype),
@@ -117,7 +148,6 @@ def build_table(pos, ptype, valid, *, s0, box=0.0, n_levels: int = 8,
 
 
 def level_for_radius(table: NeighborTable, h):
-    """Smallest level whose cell size covers radius h."""
     lev = jnp.ceil(jnp.log2(jnp.maximum(h, 1e-30) / table.s0))
     return jnp.clip(lev, 0, table.n_levels - 1).astype(jnp.int32)
 
@@ -127,25 +157,19 @@ _STENCIL = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
 
 
 def gather_candidates(table: NeighborTable, pos_q, ptype_q, h_q, *, cap: int):
-    """Candidate neighbour indices for a block of queries.
+    """Candidate neighbours for a block of queries.
 
-    Args:
-      pos_q:   (B,3) query positions
-      ptype_q: (B,)  query types (neighbours are same-type)
-      h_q:     (B,)  query radii (sets the stencil level)
-      cap:     static per-cell candidate capacity
-
-    Returns:
-      idx      (B, 27*cap) int32 candidate particle indices (clamped)
-      mask     (B, 27*cap) bool  validity
-      overflow (B,)        bool  any stencil cell exceeded ``cap``
-    """
+    Returns (idx (B,27*cap) int32, rows (B,27*cap,8), mask, overflow).
+    Rows are read contiguously per stencil cell from the pre-permuted
+    payload. The mask is type-exact (hash buckets can mix types/cells on
+    collision; distance tests resolve spatial collisions downstream)."""
     dtype = pos_q.dtype
     box = table.box
-    lev = level_for_radius(table, h_q)                   # (B,)
+    lev = level_for_radius(table, h_q)
     scale = (2.0 ** lev.astype(dtype))
     posw = jnp.where(box > 0, pos_q - box * jnp.floor(pos_q / box), pos_q)
-    base, dims = _cell_coords(posw, table.origin, table.s0, box, scale[:, None])
+    base, dims = _cell_coords(posw, table.origin, table.s0, box,
+                              scale[:, None])
 
     keys = []
     for (dx, dy, dz) in _STENCIL:
@@ -155,80 +179,57 @@ def gather_candidates(table: NeighborTable, pos_q, ptype_q, h_q, *, cap: int):
         hsh = _cell_hash(c[:, 0], c[:, 1], c[:, 2], ptype_q, table.n_hash)
         keys.append(lev * table.n_hash + hsh)
     key = jnp.stack(keys, axis=1)                        # (B,27)
-    # Two stencil cells may land in the same hash bucket (collision, or
-    # periodic wrap when dims < 3); visiting a bucket twice would duplicate
-    # candidates and corrupt counts/k-th distances. Keep first visit only.
+    # dedupe buckets visited twice (hash collision or periodic wrap)
     dup = jnp.zeros(key.shape, bool)
     for j in range(1, len(_STENCIL)):
         dup = dup.at[:, j].set(
             jnp.any(key[:, :j] == key[:, j:j + 1], axis=1))
-    start = jnp.searchsorted(table.sorted_keys, key, side="left")
-    stop = jnp.searchsorted(table.sorted_keys, key, side="right")
-    count = jnp.where(dup, 0, stop - start)              # (B,27)
+    start = table.bucket_start[key]
+    count = jnp.where(dup, 0, table.bucket_count[key])   # (B,27)
     overflow = jnp.any(count > cap, axis=1)
 
-    rank = jnp.arange(cap, dtype=jnp.int32)              # (cap,)
+    rank = jnp.arange(cap, dtype=jnp.int32)
     entry = start[:, :, None] + rank[None, None, :]      # (B,27,cap)
     mask = rank[None, None, :] < jnp.minimum(count, cap)[:, :, None]
     entry = jnp.clip(entry, 0, table.sorted_part.shape[0] - 1)
-    idx = table.sorted_part[entry]                       # (B,27,cap)
-    # hash buckets can mix cells *and types* on collision; the stored type
-    # array makes the mask exact (distance tests handle spatial collisions)
-    mask = mask & (table.ptype[idx] == ptype_q[:, None, None])
     b = pos_q.shape[0]
-    return idx.reshape(b, -1), mask.reshape(b, -1), overflow
+    idx = table.sorted_part[entry].reshape(b, -1)
+    rows = table.rows[entry].reshape(b, -1, PAYLOAD_DIM)
+    mask = mask.reshape(b, -1) & (payload_type(rows) == ptype_q[:, None])
+    return idx, rows, mask, overflow
 
 
-def knn_radius(table: NeighborTable, pos_all, pos_q, ptype_q, h_guess, k: int,
+def knn_radius(table: NeighborTable, pos_q, ptype_q, h_guess, k: int,
                *, cap: int, n_iter: int = 3, boundary_pad: float = 1.0001):
     """Radius enclosing exactly k same-type particles (self included).
 
-    Fixed-point on the stencil level: evaluate the k-th smallest candidate
-    distance at the level implied by the current guess, then re-evaluate in
-    case the radius grew past the level's coverage. Replaces the reference's
-    MAXITER=30/60 bisections (sidm.c:814-968 etc.).
-
-    Returns (h, count_at_h, overflow).
-    """
+    Fixed-point on the stencil level; replaces the reference's MAXITER=30/60
+    bisections. Returns (h, count_at_h, overflow)."""
     box = table.box
 
-    def one_iter(h, _):
-        idx, mask, ovf = gather_candidates(table, pos_q, ptype_q, h, cap=cap)
-        d = pos_all[idx] - pos_q[:, None, :]
-        if True:  # periodic minimum image (no-op when box == 0)
-            d = jnp.where(box > 0, d - box * jnp.round(d / box), d)
+    def one_iter(h):
+        _, rows, mask, ovf = gather_candidates(table, pos_q, ptype_q, h,
+                                               cap=cap)
+        d = rows[..., 0:3] - pos_q[:, None, :]
+        d = jnp.where(box > 0, d - box * jnp.round(d / box), d)
         r2 = jnp.sum(d * d, axis=-1)
         r2 = jnp.where(mask, r2, jnp.inf)
-        # k-th smallest distance: top_k on negated values
-        neg = -r2
-        kth = -lax.top_k(neg, k)[0][:, -1]               # (B,)
+        kth = -lax.top_k(-r2, k)[0][:, -1]
         n_cand = jnp.sum(mask, axis=1)
-        # if fewer than k candidates, grow the radius and try a coarser level
-        h_new = jnp.where(
-            n_cand >= k,
-            jnp.sqrt(jnp.maximum(kth, 0.0)) * boundary_pad,
-            h * 2.0)
-        # coverage check: the level used covered radius s_l >= h(old); if the
-        # new radius exceeds it, the next iteration re-gathers coarser.
-        return h_new, ovf
+        h_new = jnp.where(n_cand >= k,
+                          jnp.sqrt(jnp.maximum(kth, 0.0)) * boundary_pad,
+                          h * 2.0)
+        return h_new, r2, ovf
 
     h = h_guess
-    ovf = jnp.zeros(pos_q.shape[0], bool)
     for _ in range(n_iter):
-        h, ovf = one_iter(h, None)
-    # final count at h
-    idx, mask, ovf2 = gather_candidates(table, pos_q, ptype_q, h, cap=cap)
-    d = pos_all[idx] - pos_q[:, None, :]
-    d = jnp.where(box > 0, d - box * jnp.round(d / box), d)
-    r2 = jnp.sum(d * d, axis=-1)
-    cnt = jnp.sum(mask & (r2 < (h * h)[:, None]), axis=1)
-    return h, cnt, ovf | ovf2
+        h, r2, ovf = one_iter(h)
+    cnt = jnp.sum((r2 < (h * h)[:, None]) & jnp.isfinite(r2), axis=1)
+    return h, cnt, ovf
 
 
 def default_cell_size(pos, valid, k: int, box=0.0):
-    """Base cell size heuristic: the k-neighbour radius for a *uniform*
-    distribution at the mean density, divided by 4 so dense regions map to
-    fine levels. Host-side helper (uses concrete values)."""
+    """Base cell size heuristic (host-side)."""
     import numpy as np
     p = np.asarray(pos)[np.asarray(valid)]
     n = max(len(p), 1)
@@ -244,11 +245,7 @@ def default_cell_size(pos, valid, k: int, box=0.0):
 def setup_smoothing_lengths(p, des_num_ngb: int, max_dev: int, box=None,
                             cap: int = 96, block: int = 1024):
     """Initial hsml_vd for all collisionless particles
-    (init.c setup_smoothinglengths_sidm -> setup_nbr_sidm, sidm.c:630-805).
-
-    Returns particles with hsml_vd and ngb_vd filled. Runs blocked over
-    targets to bound memory.
-    """
+    (init.c setup_smoothinglengths_sidm -> setup_nbr_sidm, sidm.c:630-805)."""
     import dataclasses
 
     boxv = 0.0 if box is None else float(box)
@@ -266,7 +263,7 @@ def setup_smoothing_lengths(p, des_num_ngb: int, max_dev: int, box=None,
     def run(pos_q, ptype_q, h0):
         def one(args):
             pq, tq, hq = args
-            return knn_radius(table, p.pos, pq, tq, hq, des_num_ngb,
+            return knn_radius(table, pq, tq, hq, des_num_ngb,
                               cap=cap, n_iter=4)
         return lax.map(one, (pos_q.reshape(nb, block, 3),
                              ptype_q.reshape(nb, block),
@@ -278,3 +275,9 @@ def setup_smoothing_lengths(p, des_num_ngb: int, max_dev: int, box=None,
     hsml_vd = jnp.where(p.is_collisionless, h, p.hsml_vd)
     ngb_vd = jnp.where(p.is_collisionless, cnt, p.ngb_vd).astype(jnp.int32)
     return dataclasses.replace(p, hsml_vd=hsml_vd, ngb_vd=ngb_vd)
+
+
+def with_payload(table: NeighborTable, payload) -> NeighborTable:
+    """Re-attach a (possibly wider) payload to an existing table without
+    re-sorting — one permutation gather. Column 7 must stay the aux field."""
+    return table._replace(rows=payload[table.sorted_part])

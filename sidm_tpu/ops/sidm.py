@@ -111,7 +111,7 @@ def update_hsml(p: Particles, pos_pred, table, active, params: SidmParams):
 
     def one(args):
         pq, tq, hq = args
-        return knn_radius(table, pos_pred, pq, tq, hq, params.des_num_ngb,
+        return knn_radius(table, pq, tq, hq, params.des_num_ngb,
                           cap=params.cap, n_iter=3)
 
     h, cnt, ovf = lax.map(one, (pos_q.reshape(nb, block, 3),
@@ -151,8 +151,12 @@ def sidm_scatter(p: Particles, pos_pred, time, active, vmax, key,
     hpos = jnp.where(p.hsml_vd > 0, p.hsml_vd, jnp.inf)
     hmin = jnp.min(jnp.where(p.is_collisionless, hpos, jnp.inf))
     s0 = jnp.where(jnp.isfinite(hmin), jnp.maximum(hmin, 1e-12), r_k / 2.0)
+    has_pending0 = jnp.any(p.dvel != 0.0, axis=-1)
+    from .neighbors import make_payload
+    payload = make_payload(pos_pred, p.vel, p.mass, p.ptype,
+                           flag=has_pending0)
     table = build_table(pos_pred, p.ptype, p.valid, s0=s0, box=box,
-                        n_levels=params.n_levels)
+                        n_levels=params.n_levels, payload=payload)
 
     # ---- refresh smoothing lengths (k-th neighbour radius) ----
     p = update_hsml(p, pos_pred, table, active, params)
@@ -207,13 +211,13 @@ def sidm_scatter(p: Particles, pos_pred, time, active, vmax, key,
         pad1(jnp.arange(n, dtype=jnp.int32), -1),
     )
 
-    from .neighbors import gather_candidates
+    from .neighbors import gather_candidates, payload_flag
 
     def scan_block(blk):
         bpos, bvel, bh, btype, bgate, brand, bdt, bidx = blk
-        idx, mask, _ = gather_candidates(table, bpos, btype, bh,
-                                         cap=params.cap)
-        d = pos_pred[idx] - bpos[:, None, :]
+        idx, rows, mask, _ = gather_candidates(table, bpos, btype, bh,
+                                               cap=params.cap)
+        d = rows[..., 0:3] - bpos[:, None, :]
         if box:
             d = d - box * jnp.round(d / box)
         r2 = jnp.sum(d * d, axis=-1)
@@ -221,17 +225,17 @@ def sidm_scatter(p: Particles, pos_pred, time, active, vmax, key,
         # neighbour validity: same-type candidates (mask), inside kernel
         # support, not self, no pending kick (sidm.c:356-357)
         ok = (mask & (r < bh[:, None]) & (idx != bidx[:, None])
-              & (~has_pending[idx]))
+              & (~payload_flag(rows)))
         u_r = r / bh[:, None]
         wk = sph_kernel(u_r) / (bh[:, None] ** 3)
 
-        rv_vec = bvel[:, None, :] - p.vel[idx]               # (B,C,3)
+        rv_vec = bvel[:, None, :] - rows[..., 3:6]           # (B,C,3)
         rv = jnp.sqrt(jnp.sum(rv_vec * rv_vec, axis=-1))
         sv = sigma_v_product(rv, time, sigma_co, params.cross_section_type,
                              params.yukawa_velocity,
                              params.cross_section_vel_scale,
                              params.cross_section_pow_law, params.comoving)
-        prob = jnp.where(ok, 0.5 * p.mass[idx] * wk * sv * bdt[:, None], 0.0)
+        prob = jnp.where(ok, 0.5 * rows[..., 6] * wk * sv * bdt[:, None], 0.0)
         cum = jnp.cumsum(prob, axis=1)
         crossed = bgate[:, None] & (cum >= brand[:, None])
         # first crossing: argmax over boolean gives first True

@@ -1,41 +1,38 @@
-"""Barnes-Hut gravity: group-collective tree traversal + batched multipole
-force evaluation.
+"""Barnes-Hut gravity: global level-synchronous traversal + flat-pair
+multipole evaluation.
 
 TPU-native counterpart of the per-target recursive walk
 (``force_treeevaluate`` / ``_single_BH`` / ``_single``,
-nbody/forcetree.c:786-1377). Instead of walking the tree once per particle
-with data-dependent control flow, Morton-adjacent targets are grouped and the
-walk runs ONCE per group against the group's bounding box: a node is accepted
-when the opening criterion holds for *every* point of the box (conservative),
-otherwise opened. The walk emits a fixed-capacity interaction list of
-(multipole nodes, particle segments); forces are then dense (targets x list)
-vector ops — exactly per target, so grouping affects cost, never accuracy.
+nbody/forcetree.c:786-1377), designed around TPU memory behavior (random
+gathers move 512-byte sublanes; sorts and dense vector math are cheap;
+per-element scatters and fixed per-group caps are not):
 
-The build/evaluate split is the multi-chip seam: each device builds the
-(replicated) tree from all-gathered sources and calls ``eval_targets`` on its
-local particle shard — the dual of the reference's scheme where every task
-walks the *shared target bunch* against its *local* tree and partial forces
-are summed (gravtree.c:171-222). Replicating the cheap tree and sharding the
-expensive walk needs one all-gather instead of per-bunch Sendrecv rounds +
-reduction.
+* Morton-adjacent targets form groups; the opening criterion is evaluated
+  once per (group, node) pair against the group's bounding box
+  (conservative, so per-target forces are exact for the emitted lists).
+* The traversal frontier is ONE global array of (group, node) pairs across
+  all groups. Each level: gather packed 32-byte MAC rows, classify into
+  {open, accept, leaf-segment, dead}, partition with a single stable argsort
+  per level, append accepted/segment pairs to flat interaction buffers with
+  ``dynamic_update_slice`` (no scatter), and expand open pairs' children
+  into the next frontier. Buffer sizes adapt to the *actual* total work, not
+  per-group worst cases.
+* Evaluation is over the flat pair lists in fixed chunks: each (group,node)
+  row interacts with all group targets ((rows, G) dense vector math), with
+  monopole + traceless quadrupole (forcetree.c:1002-1060) and spline
+  softening h = 2.8*max(eps_target, eps_node) (forcetree.c:834,1914-1917);
+  per-group accumulation by indexed add of whole (G,3) rows.
 
-Opening criteria (both reference criteria are implemented):
+Opening criteria — both of the reference's:
 * geometric BH (TypeOfOpeningCriterion 0): open if len^2 > theta^2 r^2
   (forcetree.c:967);
-* relative (1): open if m*len^4 > |a_old| * ErrTolForceAcc * r^6
-  (forcetree.c:1254-1257), using the group's min |a_old| (conservative);
-  falls back to BH when a_old is not yet available (first force call).
-
-Interactions: monopole + traceless quadrupole (forcetree.c:1002-1060), spline
-softening with h = 2.8*max(eps_target, eps_node) (forcetree.c:834,1914-1917).
-Quadrupole terms are Newtonian-range only (the reference softens them via
-tabulated knlW2..W4; accepted nodes essentially never overlap the softening
-length at sane parameters).
+* relative (1): open if m*len^4 > |a_old|*ErrTolForceAcc*r^6
+  (forcetree.c:1254-1257) using the group's min |a_old| (conservative);
+  falls back to BH when a_old is unavailable (first force call).
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -48,14 +45,16 @@ from .tree import Octree, build_octree
 
 
 class WalkConfig(NamedTuple):
-    group_size: int = 64        # targets per traversal group
-    frontier_cap: int = 2048    # max open nodes per level
-    node_list_cap: int = 6144   # accepted multipole nodes per group
-    seg_list_cap: int = 2048    # leaf particle segments per group
-    leaf_cap: int = 8           # open nodes down to <= this many particles
-    seg_gather: int = 8         # particle slots gathered per listed segment
-    final_chunks: int = 32      # max seg chunks for an overfull deepest cell
-    groups_per_chunk: int = 16  # vmapped groups per lax.map step
+    group_size: int = 64         # targets per traversal group
+    frontier_factor: int = 12    # global frontier cap = factor * n_targets
+    pair_factor: int = 24        # node-pair buffer cap = factor * n_targets
+    seg_factor: int = 12         # segment buffer cap = factor * n_targets
+    leaf_cap: int = 16           # open cells down to <= this many particles
+    seg_gather: int = 16         # particle slots per segment row (>= leaf_cap)
+    big_cell_cap: int = 8192     # distinct overfull deepest-level cells
+    final_chunks: int = 64       # chunks each overfull deepest cell may span
+    node_chunk: int = 65536      # pair rows per eval step
+    seg_chunk: int = 8192        # segment rows per eval step
     start_level: int = 2
 
 
@@ -66,199 +65,346 @@ def _min_image(d, box):
 
 
 def _bbox_dist2(lo, hi, c, box):
-    """Squared distance from point c to the axis-aligned box [lo, hi]."""
     if box is not None:
         mid = 0.5 * (lo + hi)
         c = mid + _min_image(c - mid, box)
     dx = jnp.maximum(jnp.maximum(lo - c, c - hi), 0.0)
-    return jnp.sum(dx * dx, axis=-1), c
+    return jnp.sum(dx * dx, axis=-1)
 
 
-def _compact_append(buf, cnt, values, mask):
-    """Append values[mask] to buf starting at cnt. buf has one junk slot at
-    the end. Returns (buf, new_cnt, n_dropped)."""
-    cap = buf.shape[0] - 1
-    pos = cnt + jnp.cumsum(mask.astype(jnp.int32)) - 1
-    ok = mask & (pos < cap)
-    wpos = jnp.where(ok, pos, cap)
-    buf = buf.at[wpos].set(jnp.where(ok, values, buf[wpos]))
-    appended = jnp.sum(ok.astype(jnp.int32))
-    wanted = jnp.sum(mask.astype(jnp.int32))
-    return buf, cnt + appended, wanted - appended
+def _pack3(category, F):
+    """Stable partition by category (0,1,2,3) via one argsort.
+
+    Returns (perm, n0, n01, n012): perm orders category-0 entries first (in
+    original order), then 1, then 2; counts give region boundaries."""
+    idx = jnp.arange(F, dtype=jnp.int32)
+    key = category.astype(jnp.int32) * F + idx
+    perm = jnp.argsort(key)
+    n0 = jnp.sum((category == 0).astype(jnp.int32))
+    n1 = jnp.sum((category == 1).astype(jnp.int32))
+    n2 = jnp.sum((category == 2).astype(jnp.int32))
+    return perm, n0, n0 + n1, n0 + n1 + n2
 
 
-def _walk_one_group(tree: Octree, glo, ghi, oac_min, cfg: WalkConfig,
-                    theta, use_relative, box):
-    """Traverse for one group bbox. Returns fixed-size interaction lists."""
+def _append(buf_list, cnt, arrs, count_new, cap):
+    """Append ``count_new`` leading entries of each arr (len F) to buffers at
+    offset cnt via dynamic_update_slice. Buffers have F slack beyond cap."""
+    out = []
+    w = jnp.minimum(cnt, cap)
+    for buf, a in zip(buf_list, arrs):
+        out.append(lax.dynamic_update_slice_in_dim(buf, a, w, axis=0))
+    overflow = jnp.maximum(cnt + count_new - cap, 0) - jnp.maximum(cnt - cap, 0)
+    return out, cnt + count_new, overflow
+
+
+def global_walk(tree: Octree, group_lo, group_hi, group_oac, cfg: WalkConfig,
+                theta, use_relative, box):
+    """Traverse for all groups at once.
+
+    Returns flat (group, node) pair buffers for multipole interactions and
+    flat (group, start, count) segment buffers for near-field particle
+    interactions, plus counts and an overflow tally."""
+    ngroups = group_lo.shape[0]
     depth = tree.depth
-    F = cfg.frontier_cap
+    l0 = cfg.start_level
+    cap0 = min(8 ** l0, tree.pos_s.shape[0])
+    F = max(1 << 14, cfg.frontier_factor * ngroups * cfg.group_size)
+    P_cap = cfg.pair_factor * ngroups * cfg.group_size
+    S_cap = cfg.seg_factor * ngroups * cfg.group_size
+    dtype = tree.pos_s.dtype
 
-    lstart = cfg.start_level
-    cap_start = tree.node_mass[lstart].shape[0]
-    frontier = jnp.zeros(F, jnp.int32)
-    n0 = jnp.minimum(tree.n_nodes[lstart], jnp.int32(min(cap_start, F)))
-    frontier = frontier.at[:min(cap_start, F)].set(
-        jnp.arange(min(cap_start, F), dtype=jnp.int32))
-    fcnt = n0
+    # initial frontier: every group x every real node at the start level
+    fg = jnp.repeat(jnp.arange(ngroups, dtype=jnp.int32), cap0,
+                    total_repeat_length=ngroups * cap0)
+    fn = jnp.tile(tree.level_offsets[l0]
+                  + jnp.arange(cap0, dtype=jnp.int32), ngroups)
+    pad = F - ngroups * cap0
+    if pad < 0:
+        raise ValueError("frontier cap too small for the start level")
+    fg = jnp.concatenate([fg, jnp.zeros(pad, jnp.int32)])
+    fn = jnp.concatenate([fn, jnp.zeros(pad, jnp.int32)])
+    fcnt = jnp.int32(ngroups * cap0)
+    # mask out start-level nodes beyond the real count per group
+    slot = jnp.tile(jnp.arange(cap0, dtype=jnp.int32), ngroups)
+    slot = jnp.concatenate([slot, jnp.full(pad, 1 << 30, jnp.int32)])
+    alive0 = slot < tree.n_nodes[l0]
 
-    node_idx = jnp.zeros(cfg.node_list_cap + 1, jnp.int32)
-    node_lvl = jnp.zeros(cfg.node_list_cap + 1, jnp.int32)
-    ncnt = jnp.int32(0)
-    seg_start = jnp.zeros(cfg.seg_list_cap + 1, jnp.int32)
-    seg_count = jnp.zeros(cfg.seg_list_cap + 1, jnp.int32)
+    pair_g = jnp.zeros(P_cap + F, jnp.int32)
+    pair_n = jnp.zeros(P_cap + F, jnp.int32)
+    pcnt = jnp.int32(0)
+    seg_g = jnp.zeros(S_cap + F, jnp.int32)
+    seg_s = jnp.zeros(S_cap + F, jnp.int32)
+    seg_c = jnp.zeros(S_cap + F, jnp.int32)
     scnt = jnp.int32(0)
-    dropped = jnp.int32(0)
+    big_g = jnp.zeros(cfg.big_cell_cap + F, jnp.int32)
+    big_s = jnp.zeros(cfg.big_cell_cap + F, jnp.int32)
+    big_c = jnp.zeros(cfg.big_cell_cap + F, jnp.int32)
+    bcnt = jnp.int32(0)
+    overflow = jnp.int32(0)
 
     theta2 = theta * theta
+    alive = alive0
 
-    for l in range(lstart, depth + 1):
-        cap_l = tree.node_mass[l].shape[0]
-        fvalid = jnp.arange(F) < fcnt
-        nid = jnp.clip(frontier, 0, cap_l - 1)
-        com = tree.node_com[l][nid]
-        mass = tree.node_mass[l][nid]
-        cnt = tree.node_count[l][nid]
-        s_l = tree.cell_size[l]
+    for l in range(l0, depth + 1):
+        rows = tree.mac_rows[fn]                     # (F,8)
+        com = rows[:, 0:3]
+        mass = rows[:, 3]
+        ctr = rows[:, 4:7]
+        cnt = rows[:, 7]
+        s_l = tree.extent / (1 << l)
 
-        r2, _ = _bbox_dist2(glo[None, :], ghi[None, :], com, box)
+        glo = group_lo[fg]
+        ghi = group_hi[fg]
+        r2 = _bbox_dist2(glo, ghi, com, box)
         geo_open = s_l * s_l > theta2 * r2
         if use_relative:
-            rel_open = mass * s_l**4 > oac_min * r2 * r2 * r2
-            mac_open = jnp.where(oac_min > 0, rel_open, geo_open)
+            oac = group_oac[fg]
+            rel_open = mass * s_l**4 > oac * r2 * r2 * r2
+            mac_open = jnp.where(oac > 0, rel_open, geo_open)
         else:
             mac_open = geo_open
-        # a node whose cell touches the (expanded) group box must be opened
-        # regardless of the COM distance
-        ctr = tree.node_center[l][nid]
-        c2, _ = _bbox_dist2(glo[None, :] - 0.5 * s_l, ghi[None, :] + 0.5 * s_l,
-                            ctr, box)
+        c2 = _bbox_dist2(glo - 0.5 * s_l, ghi + 0.5 * s_l, ctr, box)
         mac_open = mac_open | (c2 <= 0.0)
 
-        nonempty = fvalid & (cnt > 0)
+        live = alive & (jnp.arange(F) < fcnt) & (cnt > 0)
         is_small = cnt <= cfg.leaf_cap
-        accept = nonempty & (~mac_open)
-        to_seg = nonempty & mac_open & (is_small | (l == depth))
-        to_open = nonempty & mac_open & (~is_small) & (l < depth)
+        # categories: 0 = open further, 1 = accept multipole, 2 = to segment
+        to_open = live & mac_open & (~is_small) & (l < depth)
+        acc = live & (~mac_open)
+        seg = live & mac_open & (is_small | (l == depth))
+        category = jnp.where(to_open, 0, jnp.where(acc, 1,
+                             jnp.where(seg, 2, 3)))
+        perm, n_open, n_oa, n_oas = _pack3(category, F)
+        fg_p = fg[perm]
+        fn_p = fn[perm]
+        # zero-padded copies so a dynamic_slice starting anywhere in [0, F]
+        # is never clamped back (dynamic_slice clamps start to fit)
+        zpad = jnp.zeros(F, jnp.int32)
+        fg_pp = jnp.concatenate([fg_p, zpad])
+        fn_pp = jnp.concatenate([fn_p, zpad])
 
-        node_idx, ncnt2, d1 = _compact_append(node_idx, ncnt, nid, accept)
-        node_lvl = jnp.where(
-            (jnp.arange(cfg.node_list_cap + 1) >= ncnt)
-            & (jnp.arange(cfg.node_list_cap + 1) < ncnt2), l, node_lvl)
-        ncnt = ncnt2
-        dropped = dropped + d1
+        # accepted pairs: region [n_open, n_oa)
+        accg = lax.dynamic_slice_in_dim(fg_pp, n_open, F)
+        accn = lax.dynamic_slice_in_dim(fn_pp, n_open, F)
+        (pair_g, pair_n), pcnt, ov = _append(
+            [pair_g, pair_n], pcnt, [accg, accn], n_oa - n_open, P_cap)
+        overflow += ov
 
-        C = cfg.seg_gather
-        # cells above the deepest level reach the segment list only with
-        # count <= leaf_cap <= seg_gather: one chunk each. The deepest level
-        # can hold arbitrarily dense cells — split them into up to
-        # ``final_chunks`` seg entries so no interaction is lost.
-        n_chunks = 1 if l < depth else cfg.final_chunks
-        start_l = tree.node_start[l][nid]
-        for k in range(n_chunks):
-            chunk_cnt = jnp.clip(cnt - k * C, 0, C)
-            mk = to_seg & (chunk_cnt > 0)
-            seg_start, scnt2, d2 = _compact_append(
-                seg_start, scnt, start_l + k * C, mk)
-            seg_count, _, _ = _compact_append(seg_count, scnt, chunk_cnt, mk)
-            dropped = dropped + d2
-            scnt = scnt2
-        dropped = dropped + jnp.sum(
-            jnp.where(to_seg, jnp.maximum(cnt - n_chunks * C, 0), 0))
+        # segment pairs: region [n_oa, n_oas)
+        sgg = lax.dynamic_slice_in_dim(fg_pp, n_oa, F)
+        sgn = lax.dynamic_slice_in_dim(fn_pp, n_oa, F)
+        sg_start = tree.node_start[sgn]
+        sg_cnt_full = tree.node_count[sgn]
+        n_seg = n_oas - n_oa
+        in_seg = jnp.arange(F) < n_seg
+        if l < depth:
+            (seg_g, seg_s, seg_c), scnt, ov = _append(
+                [seg_g, seg_s, seg_c], scnt,
+                [sgg, sg_start, jnp.minimum(sg_cnt_full, cfg.seg_gather)],
+                n_seg, S_cap)
+            overflow += ov
+        else:
+            # deepest level: small cells go to the segment list; overfull
+            # cells go to the (short) big-cell list and are chunked below
+            small = in_seg & (sg_cnt_full <= cfg.seg_gather)
+            perm2, n_sm, n_smb, _ = _pack3(
+                jnp.where(small, 0, jnp.where(in_seg, 1, 2)), F)
+            sgg2 = jnp.concatenate([sgg[perm2], zpad])
+            sgn2 = sgn[perm2]
+            st2 = jnp.concatenate([sg_start[perm2], zpad])
+            cf2 = jnp.concatenate([sg_cnt_full[perm2], zpad])
+            (seg_g, seg_s, seg_c), scnt, ov = _append(
+                [seg_g, seg_s, seg_c], scnt,
+                [sgg2[:F], st2[:F], jnp.minimum(cf2[:F], cfg.seg_gather)],
+                n_sm, S_cap)
+            overflow += ov
+            bigg = lax.dynamic_slice_in_dim(sgg2, n_sm, F)
+            bigs = lax.dynamic_slice_in_dim(st2, n_sm, F)
+            bigc = lax.dynamic_slice_in_dim(cf2, n_sm, F)
+            (big_g, big_s, big_c), bcnt, ov = _append(
+                [big_g, big_s, big_c], bcnt, [bigg, bigs, bigc],
+                n_smb - n_sm, cfg.big_cell_cap)
+            overflow += ov
 
         if l == depth:
             break
-        cs = tree.child_start[l][nid]
-        cc = tree.child_count[l][nid]
-        cand = cs[:, None] + jnp.arange(8, dtype=jnp.int32)[None, :]
-        cmask = (jnp.arange(8)[None, :] < cc[:, None]) & to_open[:, None]
-        newf = jnp.zeros(F + 1, jnp.int32)
-        newf, nf, d3 = _compact_append(newf, jnp.int32(0),
-                                       cand.reshape(-1), cmask.reshape(-1))
-        frontier = newf[:F]
-        fcnt = nf
-        dropped = dropped + d3
 
-    return (node_idx[:cfg.node_list_cap], node_lvl[:cfg.node_list_cap], ncnt,
-            seg_start[:cfg.seg_list_cap], seg_count[:cfg.seg_list_cap], scnt,
-            dropped)
+        # expand open region [0, min(n_open, F/8)) into children WITHOUT a
+        # second pack: the next frontier is (F/8, 8) masked slots — the dead
+        # ones are skipped by the next level's single pack
+        O = F // 8
+        og = fg_p[:O]
+        on = fn_p[:O]
+        open_ok = jnp.arange(O) < n_open
+        overflow += jnp.maximum(n_open - O, 0)
+        cs = tree.child_start[on]
+        cc = tree.child_count[on]
+        k = jnp.arange(8, dtype=jnp.int32)
+        fn = (cs[:, None] + k[None, :]).reshape(-1)               # (F,)
+        fg = jnp.repeat(og, 8, total_repeat_length=F)
+        alive = ((k[None, :] < cc[:, None])
+                 & open_ok[:, None]).reshape(-1)
+        fcnt = jnp.int32(F)
+
+    # expand overfull deepest cells into seg_gather-sized chunks
+    C = cfg.seg_gather
+    K = cfg.final_chunks
+    B = cfg.big_cell_cap
+    kk = jnp.arange(K, dtype=jnp.int32)
+    ch_start = (big_s[:B, None] + kk[None, :] * C).reshape(-1)
+    ch_cnt = jnp.clip(big_c[:B, None] - kk[None, :] * C, 0, C).reshape(-1)
+    ch_g = jnp.repeat(big_g[:B], K, total_repeat_length=B * K)
+    ok = (ch_cnt > 0) & (jnp.repeat(jnp.arange(B), K,
+                                    total_repeat_length=B * K) < bcnt)
+    perm4, n_ch, _, _ = _pack3(jnp.where(ok, 0, 3), B * K)
+    # big-cell chunk lists are usually short; append the leading F entries
+    take = min(F, B * K)
+    (seg_g, seg_s, seg_c), scnt, ov = _append(
+        [seg_g, seg_s, seg_c], scnt,
+        [ch_g[perm4][:take], ch_start[perm4][:take], ch_cnt[perm4][:take]],
+        jnp.minimum(n_ch, take), S_cap)
+    overflow += ov + jnp.maximum(n_ch - take, 0)
+    overflow += jnp.sum(jnp.where(jnp.arange(B) < bcnt,
+                                  jnp.maximum(big_c[:B] - K * C, 0), 0))
+
+    return (pair_g[:P_cap], pair_n[:P_cap], jnp.minimum(pcnt, P_cap),
+            seg_g[:S_cap], seg_s[:S_cap], seg_c[:S_cap],
+            jnp.minimum(scnt, S_cap), overflow)
 
 
-def _eval_group(tree: Octree, gpos, geps, node_idx, node_lvl, ncnt,
-                seg_start, seg_count, scnt, cfg: WalkConfig, box, ewald=None):
-    """Dense force evaluation of one group against its interaction lists."""
-    Ln = cfg.node_list_cap
-    nvalid = jnp.arange(Ln) < ncnt
-
-    nm = jnp.zeros(Ln, gpos.dtype)
-    nc = jnp.zeros((Ln, 3), gpos.dtype)
-    nq = jnp.zeros((Ln, 6), gpos.dtype)
-    ne = jnp.zeros(Ln, gpos.dtype)
-    for l in range(cfg.start_level, tree.depth + 1):
-        sel = nvalid & (node_lvl == l)
-        nid = jnp.clip(node_idx, 0, tree.node_mass[l].shape[0] - 1)
-        nm = jnp.where(sel, tree.node_mass[l][nid], nm)
-        nc = jnp.where(sel[:, None], tree.node_com[l][nid], nc)
-        nq = jnp.where(sel[:, None], tree.node_quad[l][nid], nq)
-        ne = jnp.where(sel, tree.node_eps[l][nid], ne)
-    nm = jnp.where(nvalid, nm, 0.0)
-
-    # ---- node (multipole) interactions: (G, Ln) ----
-    d = nc[None, :, :] - gpos[:, None, :]
-    d = _min_image(d, box)
-    r2 = jnp.sum(d * d, axis=-1)
-    r = jnp.sqrt(r2)
-    h = 2.8 * jnp.maximum(geps[:, None], ne[None, :])
-    fac = softened_inv_r3(r, h) * nm[None, :]
-    acc = jnp.einsum("gl,gld->gd", fac, d)
-    pot = jnp.sum(softened_potential(r, h) * nm[None, :], axis=-1)
-
-    # quadrupole (Newtonian range): with rvec = x - com = -d,
-    # acc += -Q d / r^5 + 2.5 (d.Q.d) d / r^7 ; pot += -(d.Q.d)/(2 r^5)
-    r_safe = jnp.maximum(r, 1e-30)
-    newton = (r >= h) & nvalid[None, :]
+def _quad_accel(qrow, d, inv_r5, inv_r7):
+    """Quadrupole contribution; d = com - x, Q packed in qrow[:, 0:6]."""
     qd = jnp.stack([
-        nq[None, :, 0] * d[..., 0] + nq[None, :, 3] * d[..., 1]
-        + nq[None, :, 4] * d[..., 2],
-        nq[None, :, 3] * d[..., 0] + nq[None, :, 1] * d[..., 1]
-        + nq[None, :, 5] * d[..., 2],
-        nq[None, :, 4] * d[..., 0] + nq[None, :, 5] * d[..., 1]
-        + nq[None, :, 2] * d[..., 2],
-    ], axis=-1)                                           # (G,Ln,3)
+        qrow[..., 0] * d[..., 0] + qrow[..., 3] * d[..., 1]
+        + qrow[..., 4] * d[..., 2],
+        qrow[..., 3] * d[..., 0] + qrow[..., 1] * d[..., 1]
+        + qrow[..., 5] * d[..., 2],
+        qrow[..., 4] * d[..., 0] + qrow[..., 5] * d[..., 1]
+        + qrow[..., 2] * d[..., 2],
+    ], axis=-1)
     dqd = jnp.sum(qd * d, axis=-1)
-    inv_r5 = jnp.where(newton, 1.0 / r_safe**5, 0.0)
-    inv_r7 = jnp.where(newton, 1.0 / r_safe**7, 0.0)
-    acc = acc + jnp.sum(-qd * inv_r5[..., None]
-                        + 2.5 * (dqd * inv_r7)[..., None] * d, axis=1)
-    pot = pot - 0.5 * jnp.sum(dqd * inv_r5, axis=-1)
+    acc = -qd * inv_r5[..., None] + 2.5 * (dqd * inv_r7)[..., None] * d
+    pot = -0.5 * dqd * inv_r5
+    return acc, pot
 
-    if ewald is not None:
-        fc = ewald.force_correction(d)
-        acc = acc + jnp.sum(nm[None, :, None] * fc, axis=1)
-        pot = pot + jnp.sum(nm[None, :] * ewald.pot_correction(d), axis=-1)
 
-    # ---- particle segment interactions: (G, Ls*C) ----
-    Ls, C = cfg.seg_list_cap, cfg.seg_gather
-    svalid = jnp.arange(Ls) < scnt
-    slot = jnp.arange(C, dtype=jnp.int32)
-    pidx = seg_start[:, None] + slot[None, :]              # (Ls,C)
-    pmask = svalid[:, None] & (slot[None, :] < seg_count[:, None])
-    pidx = jnp.clip(pidx, 0, tree.pos_s.shape[0] - 1).reshape(-1)
-    pm = jnp.where(pmask.reshape(-1), tree.mass_s[pidx], 0.0)
-    pp = tree.pos_s[pidx]
-    pe = tree.eps_s[pidx]
+def eval_flat(tree: Octree, gtargets, geps, walk_out, cfg: WalkConfig,
+              box, ewald=None):
+    """Evaluate the flat interaction lists.
 
-    dp = pp[None, :, :] - gpos[:, None, :]
-    dp = _min_image(dp, box)
-    rp = jnp.sqrt(jnp.sum(dp * dp, axis=-1))
-    hp = 2.8 * jnp.maximum(geps[:, None], pe[None, :])
-    fp = softened_inv_r3(rp, hp) * pm[None, :]
-    acc = acc + jnp.einsum("gl,gld->gd", fp, dp)
-    pot = pot + jnp.sum(softened_potential(rp, hp) * pm[None, :], axis=-1)
-    if ewald is not None:
-        fc = ewald.force_correction(dp)
-        acc = acc + jnp.sum(pm[None, :, None] * fc, axis=1)
-        pot = pot + jnp.sum(pm[None, :] * ewald.pot_correction(dp), axis=-1)
+    gtargets: (ngroups, G, 3); geps: (ngroups, G). Returns per-target
+    (ngroups, G, 3) accel and (ngroups, G) potential."""
+    (pair_g, pair_n, pcnt, seg_g, seg_s, seg_c, scnt, _) = walk_out
+    ngroups, G, _ = gtargets.shape
+    dtype = gtargets.dtype
 
+    acc = jnp.zeros((ngroups, G, 3), dtype)
+    pot = jnp.zeros((ngroups, G), dtype)
+
+    # ---- multipole pairs ----
+    R = cfg.node_chunk
+    nch = -(-pair_g.shape[0] // R)
+
+    def node_chunk(carry, i):
+        acc, pot = carry
+        fg = lax.dynamic_slice_in_dim(pair_g, i * R, R)
+        fn = lax.dynamic_slice_in_dim(pair_n, i * R, R)
+        live = (i * R + jnp.arange(R)) < pcnt
+        mrow = tree.mac_rows[fn]
+        qrow = tree.quad_rows[fn]
+        tg = gtargets[fg]                              # (R,G,3)
+        te = geps[fg]                                  # (R,G)
+        com = mrow[:, 0:3]
+        m = jnp.where(live, mrow[:, 3], 0.0)
+        d = com[:, None, :] - tg
+        d = _min_image(d, box)
+        r2 = jnp.sum(d * d, axis=-1)
+        r = jnp.sqrt(r2)
+        h = 2.8 * jnp.maximum(te, qrow[:, 6][:, None])
+        fac = softened_inv_r3(r, h) * m[:, None]
+        a = fac[..., None] * d
+        p = softened_potential(r, h) * m[:, None]
+        r_safe = jnp.maximum(r, 1e-30)
+        newton = (r >= h) & live[:, None]
+        inv_r5 = jnp.where(newton, 1.0 / r_safe**5, 0.0)
+        inv_r7 = jnp.where(newton, 1.0 / r_safe**7, 0.0)
+        qa, qp = _quad_accel(qrow[:, None, :], d, inv_r5, inv_r7)
+        a = a + qa
+        p = p + qp
+        if ewald is not None:
+            a = a + m[:, None, None] * ewald.force_correction(d)
+            p = p + m[:, None] * ewald.pot_correction(d)
+        acc = acc.at[fg].add(a)
+        pot = pot.at[fg].add(p)
+        return (acc, pot), None
+
+    def node_cond(st):
+        return st[0] * R < pcnt
+
+    def node_body(st):
+        i, acc, pot = st
+        (acc, pot), _ = node_chunk((acc, pot), i)
+        return i + 1, acc, pot
+
+    _, acc, pot = lax.while_loop(node_cond, node_body,
+                                 (jnp.int32(0), acc, pot))
+
+    # ---- particle segments ----
+    Rs = cfg.seg_chunk
+    C = cfg.seg_gather
+    nchs = -(-seg_g.shape[0] // Rs)
+
+    def seg_chunk(carry, i):
+        acc, pot = carry
+        fg = lax.dynamic_slice_in_dim(seg_g, i * Rs, Rs)
+        st = lax.dynamic_slice_in_dim(seg_s, i * Rs, Rs)
+        ct = lax.dynamic_slice_in_dim(seg_c, i * Rs, Rs)
+        live = (i * Rs + jnp.arange(Rs)) < scnt
+        slot = jnp.arange(C, dtype=jnp.int32)
+        pidx = jnp.clip(st[:, None] + slot[None, :], 0,
+                        tree.pos_s.shape[0] - 1)       # (Rs,C) contiguous
+        prow = tree.part_rows[pidx]                    # (Rs,C,8)
+        pm_all = jnp.where(live[:, None] & (slot[None, :] < ct[:, None]),
+                           prow[..., 3], 0.0)
+        tg = gtargets[fg]                              # (Rs,G,3)
+        te = geps[fg]
+
+        # accumulate slot-by-slot so only (Rs,G,3) intermediates exist —
+        # XLA would otherwise materialize the (Rs,C,G,3) tensor in HBM
+        def one_slot(c, ap):
+            a, p = ap
+            pp = lax.dynamic_slice_in_dim(prow, c, 1, axis=1)[:, 0, 0:3]
+            pe = lax.dynamic_slice_in_dim(prow, c, 1, axis=1)[:, 0, 4]
+            pm = lax.dynamic_slice_in_dim(pm_all, c, 1, axis=1)[:, 0]
+            d = pp[:, None, :] - tg                    # (Rs,G,3)
+            d = _min_image(d, box)
+            r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+            h = 2.8 * jnp.maximum(te, pe[:, None])
+            fac = softened_inv_r3(r, h) * pm[:, None]
+            a = a + fac[..., None] * d
+            p = p + softened_potential(r, h) * pm[:, None]
+            if ewald is not None:
+                a = a + pm[:, None, None] * ewald.force_correction(d)
+                p = p + pm[:, None] * ewald.pot_correction(d)
+            return a, p
+
+        a0 = jnp.zeros((Rs, G, 3), gtargets.dtype)
+        p0 = jnp.zeros((Rs, G), gtargets.dtype)
+        a, p = lax.fori_loop(0, C, one_slot, (a0, p0))
+        acc = acc.at[fg].add(a)
+        pot = pot.at[fg].add(p)
+        return (acc, pot), None
+
+    def seg_cond(st):
+        return st[0] * Rs < scnt
+
+    def seg_body(st):
+        i, acc, pot = st
+        (acc, pot), _ = seg_chunk((acc, pot), i)
+        return i + 1, acc, pot
+
+    _, acc, pot = lax.while_loop(seg_cond, seg_body,
+                                 (jnp.int32(0), acc, pot))
     return acc, pot
 
 
@@ -266,81 +412,60 @@ def eval_targets(tree: Octree, tpos, teps, toac, tvalid, *, box=None,
                  theta=0.5, use_relative=True,
                  config: Optional[WalkConfig] = None, ewald=None,
                  presorted: bool = False):
-    """Force/potential for an arbitrary set of targets against ``tree``.
+    """Force/potential for an arbitrary target set against ``tree``.
 
     Targets are Morton-sorted internally for group locality (skipped when
-    ``presorted``, e.g. when targets are tree.pos_s itself). Results return
-    in the input target order. This is the unit a device shard evaluates.
-    """
+    ``presorted``); results return in input order. This is the unit a device
+    shard evaluates in the multi-chip path."""
     cfg = config or WalkConfig()
     nt = tpos.shape[0]
+    G = cfg.group_size
 
     if presorted:
         order = None
-        spos, seps, soac, svalid_t = tpos, teps, toac, tvalid
+        spos, seps, soac, svalid = tpos, teps, toac, tvalid
     else:
         keys = morton_keys(tpos, tree.origin, tree.extent, tree.depth)
         keys = jnp.where(tvalid, keys, jnp.uint32(0xFFFFFFFF))
         order = jnp.argsort(keys)
         spos, seps = tpos[order], teps[order]
-        soac, svalid_t = toac[order], tvalid[order]
+        soac, svalid = toac[order], tvalid[order]
 
-    G = cfg.group_size
     ng = -(-nt // G)
     npad = ng * G
 
     def padn(x, fill=0.0):
-        pad_shape = (npad - nt,) + x.shape[1:]
-        return jnp.concatenate([x, jnp.full(pad_shape, fill, x.dtype)])
-
-    gp = padn(spos).reshape(ng, G, 3)
-    ge = padn(seps, 1.0).reshape(ng, G)
-    go = padn(soac).reshape(ng, G)
-    gv = jnp.concatenate([svalid_t,
-                          jnp.zeros(npad - nt, bool)]).reshape(ng, G)
-
-    def run_group(gpos, geps, goac, gvalid):
-        big = jnp.asarray(1e30, tpos.dtype)
-        glo = jnp.min(jnp.where(gvalid[:, None], gpos, big), axis=0)
-        ghi = jnp.max(jnp.where(gvalid[:, None], gpos, -big), axis=0)
-        any_valid = jnp.any(gvalid)
-        glo = jnp.where(any_valid, glo, jnp.zeros(3, tpos.dtype))
-        ghi = jnp.where(any_valid, ghi, jnp.zeros(3, tpos.dtype))
-        oac_min = jnp.min(jnp.where(gvalid, goac, big))
-        oac_min = jnp.where(jnp.any(gvalid & (goac > 0)), oac_min, 0.0)
-        lists = _walk_one_group(tree, glo, ghi, oac_min, cfg, theta,
-                                use_relative, box)
-        acc, pot = _eval_group(tree, gpos, geps, *lists[:6], cfg, box,
-                               ewald=ewald)
-        return acc, pot, lists[6], lists[2], lists[5]
-
-    chunk = cfg.groups_per_chunk
-    nch = -(-ng // chunk)
-    ngpad = nch * chunk
-
-    def pad_g(x):
         return jnp.concatenate(
-            [x, jnp.zeros((ngpad - ng,) + x.shape[1:], x.dtype)])
+            [x, jnp.full((npad - nt,) + x.shape[1:], fill, x.dtype)])
 
-    gp, ge, go = pad_g(gp), pad_g(ge), pad_g(go)
-    gv = jnp.concatenate([gv, jnp.zeros((ngpad - ng, G), bool)])
+    gtargets = padn(spos).reshape(ng, G, 3)
+    geps = padn(seps, 1.0).reshape(ng, G)
+    goac = padn(soac).reshape(ng, G)
+    gvalid = jnp.concatenate([svalid, jnp.zeros(npad - nt, bool)]
+                             ).reshape(ng, G)
 
-    vrun = jax.vmap(run_group)
-    acc, pot, drop, nlen, slen = lax.map(
-        lambda t: vrun(*t),
-        (gp.reshape(nch, chunk, G, 3), ge.reshape(nch, chunk, G),
-         go.reshape(nch, chunk, G), gv.reshape(nch, chunk, G)))
+    big = jnp.asarray(1e30, tpos.dtype)
+    glo = jnp.min(jnp.where(gvalid[..., None], gtargets, big), axis=1)
+    ghi = jnp.max(jnp.where(gvalid[..., None], gtargets, -big), axis=1)
+    any_v = jnp.any(gvalid, axis=1)
+    glo = jnp.where(any_v[:, None], glo, 0.0)
+    ghi = jnp.where(any_v[:, None], ghi, 0.0)
+    oac_min = jnp.min(jnp.where(gvalid, goac, big), axis=1)
+    oac_min = jnp.where(jnp.any(gvalid & (goac > 0), axis=1), oac_min, 0.0)
 
-    acc = acc.reshape(ngpad * G, 3)[:nt]
-    pot = pot.reshape(ngpad * G)[:nt]
+    walk_out = global_walk(tree, glo, ghi, oac_min, cfg, theta,
+                           use_relative and True, box)
+    acc, pot = eval_flat(tree, gtargets, geps, walk_out, cfg, box,
+                         ewald=ewald)
 
+    acc = acc.reshape(npad, 3)[:nt]
+    pot = pot.reshape(npad)[:nt]
     if order is not None:
         inv = jnp.zeros(nt, jnp.int32).at[order].set(
             jnp.arange(nt, dtype=jnp.int32))
         acc, pot = acc[inv], pot[inv]
-
-    info = dict(dropped=jnp.sum(drop), max_nodes=jnp.max(nlen),
-                max_segs=jnp.max(slen))
+    info = dict(dropped=walk_out[7], n_pairs=walk_out[2],
+                n_segs=walk_out[6])
     return acc, pot, info
 
 
@@ -349,9 +474,7 @@ def tree_gravity(pos, mass, eps, old_acc, *, box=None, theta=0.5,
                  config: Optional[WalkConfig] = None, depth: int = 10,
                  ewald=None, return_info: bool = False):
     """Raw gravitational acceleration and potential (no G factor) for all
-    particles. Single-device entry: build + evaluate + unsort.
-
-    Replaces gravity_tree()'s bunch pipeline (gravtree.c:18-246)."""
+    particles. Replaces gravity_tree()'s bunch pipeline (gravtree.c:18-246)."""
     cfg = config or WalkConfig()
     n = pos.shape[0]
     valid = mass > 0
@@ -368,8 +491,7 @@ def tree_gravity(pos, mass, eps, old_acc, *, box=None, theta=0.5,
     acc = acc[inv]
     pot = pot[inv]
     # remove spline self-potential (potential.c:136); the Ewald self term
-    # enters via the particle-segment d=0 lookup and stays, as in the
-    # reference walk
+    # enters via the d=0 segment lookup and stays, as in the reference walk
     pot = pot + mass / jnp.maximum(eps, 1e-30)
     pot = jnp.where(valid, pot, 0.0)
     acc = jnp.where(valid[:, None], acc, 0.0)

@@ -90,6 +90,8 @@ class Simulation:
             no_force=bool(cfg.NoForce),
             no_scatter=bool(cfg.NoScatter),
             reflection_radius=cfg.ReflectionBoundary,
+            min_egy_spec=self.units.MinEgySpec,
+            min_gas_hsml=cfg.MinGasHsmlFractional * cfg.SofteningGas,
         )
 
     # ------------------------------------------------------------------ setup
@@ -211,6 +213,22 @@ class Simulation:
         sidm_fn = self._make_sidm_fn()
         sync = self.mode == "synchronized"
         time_max = self.cfg.TimeMax
+        has_gas = bool(self.particles is not None
+                       and np.any(np.asarray(self.particles.ptype) == 0))
+        if has_gas:
+            from .ops.sph import SphParams
+            sph_params = SphParams(
+                des_num_ngb=self.cfg.DesNumNgb,
+                max_num_ngb_dev=self.cfg.MaxNumNgbDeviation,
+                art_bulk_visc=self.cfg.ArtBulkViscConst,
+                min_egy_spec=self.units.MinEgySpec,
+                min_gas_hsml=self.cfg.MinGasHsmlFractional
+                * self.cfg.SofteningGas,
+                comoving=bool(self.cfg.ComovingIntegrationOn),
+                hubble=self.units.Hubble, omega0=self.cfg.Omega0,
+                omega_lambda=self.cfg.OmegaLambda)
+        else:
+            sph_params = None
 
         @partial(jax.jit, static_argnums=(3,))
         def do_step(p: Particles, vmax, key, first):
@@ -231,6 +249,23 @@ class Simulation:
             n_scat = jnp.zeros((), jnp.int32)
             if sidm_fn is not None:
                 p, n_scat = sidm_fn(p, pos_pred, t_next, active, vmax, key)
+
+            if has_gas:
+                # density(); ensure_neighbours(); hydro_force() — the gas
+                # half of compute_accelerations (accel.c:71-116)
+                from .ops.sph import hydro_force, sph_density
+                boxv = consts.box_size if consts.periodic else 0.0
+                p, ngb_table = sph_density(p, pos_pred, vel_pred, t_next,
+                                           active, sph_params, box=boxv)
+                h_acc, dt_egy = hydro_force(p, pos_pred, vel_pred, t_next,
+                                            active, sph_params, ngb_table,
+                                            box=boxv)
+                upd = active & p.is_gas
+                p = dataclasses.replace(
+                    p,
+                    accel=p.accel + jnp.where(upd[:, None], h_acc, 0.0),
+                    dt_egy=jnp.where(upd, dt_egy, p.dt_egy),
+                )
 
             p = integrate.advance(p, t_next, active, consts)
             if consts.reflection_radius > 0:

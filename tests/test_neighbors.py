@@ -34,7 +34,7 @@ def test_knn_radius_matches_brute_force_uniform():
     table = nb.build_table(jnp.asarray(pos), jnp.asarray(ptype),
                            jnp.asarray(valid), s0=s0)
     h0 = jnp.full((n,), 2 * s0, jnp.float32)
-    h, cnt, ovf = nb.knn_radius(table, jnp.asarray(pos), jnp.asarray(pos),
+    h, cnt, ovf = nb.knn_radius(table, jnp.asarray(pos),
                                 jnp.asarray(ptype), h0, k, cap=96, n_iter=4)
     h = np.asarray(h)
     cnt = np.asarray(cnt)
@@ -56,7 +56,7 @@ def test_knn_radius_centrally_concentrated():
     table = nb.build_table(jnp.asarray(pos), jnp.asarray(ptype),
                            jnp.asarray(valid), s0=s0)
     h0 = jnp.full((n,), 2 * s0, jnp.float32)
-    h, cnt, ovf = nb.knn_radius(table, jnp.asarray(pos), jnp.asarray(pos),
+    h, cnt, ovf = nb.knn_radius(table, jnp.asarray(pos),
                                 jnp.asarray(ptype), h0, k, cap=128, n_iter=5)
     h, cnt = np.asarray(h), np.asarray(cnt)
     for i in range(0, n, 37):
@@ -76,8 +76,9 @@ def test_type_filtering():
     table = nb.build_table(jnp.asarray(pos), jnp.asarray(ptype),
                            jnp.asarray(valid), s0=s0)
     h = jnp.full((n,), 0.3, jnp.float32)
-    idx, mask, ovf = nb.gather_candidates(table, jnp.asarray(pos),
-                                          jnp.asarray(ptype), h, cap=256)
+    idx, rows, mask, ovf = nb.gather_candidates(table, jnp.asarray(pos),
+                                                jnp.asarray(ptype), h,
+                                                cap=256)
     idx, mask = np.asarray(idx), np.asarray(mask)
     for i in range(0, n, 29):
         cands = idx[i][mask[i]]
@@ -98,8 +99,9 @@ def test_periodic_wraparound():
     table = nb.build_table(jnp.asarray(pos), jnp.asarray(ptype),
                            jnp.asarray(valid), s0=s0, box=box)
     h = jnp.full((n,), 0.05, jnp.float32)
-    idx, mask, ovf = nb.gather_candidates(table, jnp.asarray(pos),
-                                          jnp.asarray(ptype), h, cap=64)
+    idx, rows, mask, ovf = nb.gather_candidates(table, jnp.asarray(pos),
+                                                jnp.asarray(ptype), h,
+                                                cap=64)
     # particle 0 (x=0.01) must see particles across the boundary (x=0.99)
     cands = np.asarray(idx)[0][np.asarray(mask)[0]]
     d = pos[cands] - pos[0]

@@ -27,11 +27,12 @@ def test_tree_build_mass_conservation():
                         jnp.asarray(m, jnp.float32),
                         jnp.full(1000, 0.1, jnp.float32),
                         jnp.ones(1000, bool))
+    offs = list(tree.level_offsets) + [tree.mac_rows.shape[0]]
     for l in range(tree.depth + 1):
-        total = float(jnp.sum(tree.node_mass[l]))
+        total = float(jnp.sum(tree.mac_rows[offs[l]:offs[l + 1], 3]))
         assert total == pytest.approx(m.sum(), rel=1e-4), f"level {l}"
     # root COM = global COM
-    com = np.asarray(tree.node_com[0][0])
+    com = np.asarray(tree.mac_rows[0, 0:3])
     ref = (m[:, None] * pos).sum(0) / m.sum()
     np.testing.assert_allclose(com, ref, atol=1e-4)
 
@@ -42,18 +43,20 @@ def test_tree_child_links_partition():
                         jnp.asarray(m, jnp.float32),
                         jnp.full(500, 0.1, jnp.float32),
                         jnp.ones(500, bool))
+    offs = list(tree.level_offsets)
     for l in range(tree.depth):
         n_l = int(tree.n_nodes[l])
         n_c = int(tree.n_nodes[l + 1])
-        cs = np.asarray(tree.child_start[l][:n_l])
-        cc = np.asarray(tree.child_count[l][:n_l])
+        o, oc = offs[l], offs[l + 1]
+        cs = np.asarray(tree.child_start[o:o + n_l]) - oc
+        cc = np.asarray(tree.child_count[o:o + n_l])
         # children partition the next level exactly
-        assert cc.sum() == n_c
+        assert cc.sum() == n_c, l
         ends = cs + cc
         assert (cs[1:] == ends[:-1]).all()
         # each node's particle count equals the sum of its children's
-        cnt_l = np.asarray(tree.node_count[l][:n_l])
-        cnt_c = np.asarray(tree.node_count[l + 1][:n_c])
+        cnt_l = np.asarray(tree.node_count[o:o + n_l])
+        cnt_c = np.asarray(tree.node_count[oc:oc + n_c])
         for i in range(min(n_l, 20)):
             assert cnt_l[i] == cnt_c[cs[i]:ends[i]].sum()
 
