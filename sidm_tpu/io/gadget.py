@@ -135,9 +135,31 @@ def _snapshot_files(path: str) -> List[str]:
     return files
 
 
-def read_snapshot(path: str) -> Snapshot:
-    """Read a format-1 snapshot (all files of a multi-file set)."""
+def read_snapshot(path: str, use_native: bool = True) -> Snapshot:
+    """Read a format-1 snapshot (all files of a multi-file set).
+
+    Single-file reads go through the native C++ reader
+    (native/gadget_native.cc) when the library is built — a memcpy-speed
+    path for multi-GB snapshots."""
     files = _snapshot_files(path)
+    if use_native and len(files) == 1:
+        try:
+            from .native import read_snapshot_native
+            r = read_snapshot_native(files[0])
+        except Exception:
+            r = None
+        if r is not None:
+            hdr_bytes, pos, vel, pid, mass, u = r
+            header = GadgetHeader.frombytes(hdr_bytes)
+            pt = []
+            for t in range(6):
+                pt.append(np.full(int(header.npart[t]), t, np.int32))
+            ptype = (np.concatenate(pt) if pt
+                     else np.zeros(0, np.int32))
+            header.npart_total = header.npart.copy()
+            return Snapshot(header=header, pos=pos, vel=vel,
+                            pid=pid.astype(np.uint32), mass=mass,
+                            ptype=ptype, u=u)
     parts = []
     header0 = None
     for fn in files:

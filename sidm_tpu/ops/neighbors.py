@@ -260,7 +260,9 @@ def setup_smoothing_lengths(p, des_num_ngb: int, max_dev: int, box=None,
     h0 = jnp.full((npad,), 2.0 * s0, p.pos.dtype)
 
     @jax.jit
-    def run(pos_q, ptype_q, h0):
+    def run(table, pos_q, ptype_q, h0):
+        # table passed as an argument: a closure would bake its arrays into
+        # the compiled program as constants (huge compile payloads)
         def one(args):
             pq, tq, hq = args
             return knn_radius(table, pq, tq, hq, des_num_ngb,
@@ -269,7 +271,7 @@ def setup_smoothing_lengths(p, des_num_ngb: int, max_dev: int, box=None,
                              ptype_q.reshape(nb, block),
                              h0.reshape(nb, block)))
 
-    h, cnt, ovf = run(pos_q, ptype_q, h0)
+    h, cnt, ovf = run(table, pos_q, ptype_q, h0)
     h = h.reshape(-1)[:n]
     cnt = cnt.reshape(-1)[:n]
     hsml_vd = jnp.where(p.is_collisionless, h, p.hsml_vd)

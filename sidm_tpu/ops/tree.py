@@ -115,8 +115,19 @@ def build_octree(pos, mass, eps, valid, *, box=0.0, depth: int = 10,
     n_nodes = []
 
     idx_n = jnp.arange(n, dtype=jnp.int32)
-    seg_prev = None
     seg_list = []
+    # Per-particle moment products, summed ONCE per level as a single
+    # (N, 12) matrix segment-sum: [m, m*x, m*y, m*z, m*xx, m*yy, m*zz,
+    # m*xy, m*xz, m*yz, count, eps(for max, separate)] — one fused pass
+    # instead of ten scalar reductions.
+    m_valid = mass_s * valid_s.astype(dtype)
+    x, y, z = pos_s[:, 0], pos_s[:, 1], pos_s[:, 2]
+    prods = jnp.stack([
+        m_valid, m_valid * x, m_valid * y, m_valid * z,
+        m_valid * x * x, m_valid * y * y, m_valid * z * z,
+        m_valid * x * y, m_valid * x * z, m_valid * y * z,
+        valid_s.astype(dtype)], axis=1)                      # (N, 11)
+
     for l in range(depth + 1):
         shift = U32(3 * (depth - l))
         pref = keys_s >> shift
@@ -128,30 +139,21 @@ def build_octree(pos, mass, eps, valid, *, box=0.0, depth: int = 10,
         cap = caps[l]
         segc = jnp.clip(seg, 0, cap - 1)
 
-        def seg_sum(x, segc=segc, cap=cap):
-            return jax.ops.segment_sum(x, segc, num_segments=cap,
-                                       indices_are_sorted=True)
-
-        m = mass_s * valid_s.astype(dtype)
-        sm = seg_sum(m)
-        smx = seg_sum(m[:, None] * pos_s)
+        sums = jax.ops.segment_sum(prods, segc, num_segments=cap,
+                                   indices_are_sorted=True)  # (cap, 11)
+        sm = sums[:, 0]
+        smx = sums[:, 1:4]
         com = smx / jnp.maximum(sm, 1e-30)[:, None]
         # second moments -> traceless quadrupole about the COM
-        rxx = seg_sum(m * pos_s[:, 0] * pos_s[:, 0])
-        ryy = seg_sum(m * pos_s[:, 1] * pos_s[:, 1])
-        rzz = seg_sum(m * pos_s[:, 2] * pos_s[:, 2])
-        rxy = seg_sum(m * pos_s[:, 0] * pos_s[:, 1])
-        rxz = seg_sum(m * pos_s[:, 0] * pos_s[:, 2])
-        ryz = seg_sum(m * pos_s[:, 1] * pos_s[:, 2])
-        sxx = rxx - sm * com[:, 0] * com[:, 0]
-        syy = ryy - sm * com[:, 1] * com[:, 1]
-        szz = rzz - sm * com[:, 2] * com[:, 2]
-        sxy = rxy - sm * com[:, 0] * com[:, 1]
-        sxz = rxz - sm * com[:, 0] * com[:, 2]
-        syz = ryz - sm * com[:, 1] * com[:, 2]
+        sxx = sums[:, 4] - sm * com[:, 0] * com[:, 0]
+        syy = sums[:, 5] - sm * com[:, 1] * com[:, 1]
+        szz = sums[:, 6] - sm * com[:, 2] * com[:, 2]
+        sxy = sums[:, 7] - sm * com[:, 0] * com[:, 1]
+        sxz = sums[:, 8] - sm * com[:, 0] * com[:, 2]
+        syz = sums[:, 9] - sm * com[:, 1] * com[:, 2]
         tr = sxx + syy + szz
+        cnt = sums[:, 10].astype(jnp.int32)
 
-        cnt = seg_sum(valid_s.astype(jnp.int32))
         start = jax.ops.segment_min(idx_n, segc, num_segments=cap,
                                     indices_are_sorted=True)
         start = jnp.where(cnt > 0, start, 0)

@@ -302,7 +302,7 @@ def eval_flat(tree: Octree, gtargets, geps, walk_out, cfg: WalkConfig,
     pot = jnp.zeros((ngroups, G), dtype)
 
     # ---- multipole pairs ----
-    R = cfg.node_chunk
+    R = min(cfg.node_chunk, pair_g.shape[0])
     nch = -(-pair_g.shape[0] // R)
 
     def node_chunk(carry, i):
@@ -350,7 +350,7 @@ def eval_flat(tree: Octree, gtargets, geps, walk_out, cfg: WalkConfig,
                                  (jnp.int32(0), acc, pot))
 
     # ---- particle segments ----
-    Rs = cfg.seg_chunk
+    Rs = min(cfg.seg_chunk, seg_g.shape[0])
     C = cfg.seg_gather
     nchs = -(-seg_g.shape[0] // Rs)
 

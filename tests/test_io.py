@@ -99,3 +99,34 @@ def test_ic_generators_basic():
         # roughly centered
         com = (m[:, None] * pos).sum(0) / m.sum()
         assert np.linalg.norm(com) < 0.5 * np.abs(pos).max()
+
+
+def test_native_io_parity(tmp_path):
+    """C++ reader/writer (native/gadget_native.cc) matches the Python path."""
+    from sidm_tpu.io import native
+    if not native.available() and not native.build():
+        pytest.skip("native library not built")
+    snap = _make_snap(150, ngas=30)
+    fn = str(tmp_path / "snp_nat")
+    write_snapshot(fn, snap)
+    via_native = read_snapshot(fn, use_native=True)
+    via_python = read_snapshot(fn, use_native=False)
+    np.testing.assert_allclose(via_native.pos, via_python.pos)
+    np.testing.assert_allclose(via_native.mass, via_python.mass)
+    np.testing.assert_array_equal(via_native.pid, via_python.pid)
+    np.testing.assert_array_equal(via_native.ptype, via_python.ptype)
+    np.testing.assert_allclose(via_native.u, via_python.u)
+
+
+def test_native_morton_parity():
+    from sidm_tpu.io import native
+    if not native.available():
+        pytest.skip("native library not built")
+    import jax.numpy as jnp
+    from sidm_tpu.ops.morton import bounding_cube, morton_keys
+    rng = np.random.default_rng(8)
+    pos = rng.normal(size=(500, 3)).astype(np.float32)
+    o, e = bounding_cube(jnp.asarray(pos), jnp.ones(500, bool))
+    kj = np.asarray(morton_keys(jnp.asarray(pos), o, e))
+    kn = native.morton_keys_native(pos, np.asarray(o), float(e))
+    np.testing.assert_array_equal(kj, kn)
