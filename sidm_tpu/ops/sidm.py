@@ -69,6 +69,8 @@ class SidmParams(NamedTuple):
     cap: int = 96
     block: int = 1024
     n_levels: int = 12
+    log_events: bool = False     # SCATTERLOG (Makefile -DSCATTERLOG)
+    event_cap: int = 4096        # max logged events per step
 
 
 def make_sidm_step(cfg, units, consts):
@@ -84,6 +86,7 @@ def make_sidm_step(cfg, units, consts):
         hubble=units.Hubble,
         omega0=cfg.Omega0,
         omega_lambda=cfg.OmegaLambda,
+        log_events=bool(cfg.ScatterLog),
     )
     box = cfg.BoxSize if cfg.PeriodicBoundariesOn else 0.0
 
@@ -296,7 +299,35 @@ def sidm_scatter(p: Particles, pos_pred, time, active, vmax, key,
 
     n_scattered = jnp.sum(accepted.astype(jnp.int32))
     p = dataclasses.replace(p, dvel=dvel)
+    if params.log_events:
+        events = _collect_events(p, pos_pred, time, accepted, pj, dv_i,
+                                 params.event_cap)
+        return p, n_scattered, events
     return p, n_scattered
+
+
+def _collect_events(p, pos_pred, time, accepted, pj, dv_i, cap):
+    """Pack per-event SCATTERLOG records (struct scatlog, nbody/sidm.h:1-10):
+    [time, id1, id2, h1, h2, x1(3), x2(3), v1(3), v2(3), dv(3)] = 20 f32."""
+    n = accepted.shape[0]
+    cap = min(cap, n)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(accepted, idx, n)
+    order = jnp.argsort(key)[:cap]
+    valid = accepted[order]
+    i = order
+    j = pj[order]
+    rec = jnp.concatenate([
+        jnp.full((cap, 1), time, pos_pred.dtype),
+        p.pid[i].astype(pos_pred.dtype)[:, None],
+        p.pid[j].astype(pos_pred.dtype)[:, None],
+        p.hsml_vd[i][:, None], p.hsml_vd[j][:, None],
+        pos_pred[i], pos_pred[j],
+        p.vel[i], p.vel[j],
+        dv_i[i],
+    ], axis=1)
+    rec = jnp.where(valid[:, None], rec, 0.0)
+    return rec, jnp.sum(valid.astype(jnp.int32))
 
 
 def _perp_unit(a, b):

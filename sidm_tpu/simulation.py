@@ -215,6 +215,8 @@ class Simulation:
         time_max = self.cfg.TimeMax
         has_gas = bool(self.particles is not None
                        and np.any(np.asarray(self.particles.ptype) == 0))
+        veldisp_on = bool(self.cfg.VelDispOn)
+        self_des_ngb = self.cfg.DesNumNgb
         if has_gas:
             from .ops.sph import SphParams
             sph_params = SphParams(
@@ -246,9 +248,20 @@ class Simulation:
                 pot=jnp.where(active, pot, p.pot),
             )
 
+            if veldisp_on:
+                from .ops.veldisp import veldisp as veldisp_op
+                boxv = consts.box_size if consts.periodic else 0.0
+                p = veldisp_op(p, pos_pred, vel_pred, active,
+                               des_num_ngb=self_des_ngb, box=boxv)
+
             n_scat = jnp.zeros((), jnp.int32)
+            events = None
             if sidm_fn is not None:
-                p, n_scat = sidm_fn(p, pos_pred, t_next, active, vmax, key)
+                out = sidm_fn(p, pos_pred, t_next, active, vmax, key)
+                if len(out) == 3:
+                    p, n_scat, events = out
+                else:
+                    p, n_scat = out
 
             if has_gas:
                 # density(); ensure_neighbours(); hydro_force() — the gas
@@ -285,7 +298,7 @@ class Simulation:
 
             vmax_new = timestep.get_vmax(p)
             n_active = jnp.sum(active.astype(jnp.int32))
-            return p, t_next, vmax_new, n_active, n_scat
+            return p, t_next, vmax_new, n_active, n_scat, events
 
         return do_step
 
@@ -313,8 +326,8 @@ class Simulation:
         if self._step_jit is None:
             self._step_jit = self._build_step()
         key = step_key(self.root_key, 0x7FFFFFFF)  # init-phase sentinel
-        p, t, vmax, _, _ = self._step_jit(self.particles, self.vmax, key,
-                                          True)
+        p, t, vmax, _, _, _ = self._step_jit(self.particles, self.vmax, key,
+                                             True)
         self.particles, self.time, self.vmax = p, float(t), float(vmax)
 
         self.sys_state_at_start = jax.tree.map(
@@ -324,14 +337,29 @@ class Simulation:
         if self._step_jit is None:
             self._step_jit = self._build_step()
         key = step_key(self.root_key, self.step_count)
-        p, t, vmax, n_active, n_scat = self._step_jit(
+        p, t, vmax, n_active, n_scat, events = self._step_jit(
             self.particles, self.vmax, key, False)
         self.particles = p
         prev_time = self.time
         self.time = float(t)
         self.vmax = float(vmax)
         self.step_count += 1
+        if events is not None and self.cfg.ScatterLog:
+            self._write_scatter_log(events)
         return self.time - prev_time, int(n_active), int(n_scat)
+
+    def _write_scatter_log(self, events):
+        """Append binary per-event records (SCATTERLOG, sidm.c:96-104,
+        571-601; struct scatlog sidm.h:1-10) to sct_XXX in OutputDir."""
+        rec, cnt = events
+        cnt = int(cnt)
+        if cnt == 0:
+            return
+        import numpy as _np
+        path = os.path.join(
+            self.cfg.OutputDir, f"sct_{self.snapshot_count:03d}.0")
+        with open(path, "ab") as f:
+            _np.asarray(rec)[:cnt].astype(_np.float32).tofile(f)
 
     # ------------------------------------------------------------------ run()
 

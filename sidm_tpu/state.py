@@ -32,7 +32,8 @@ def _round_up(n: int, m: int) -> int:
     jax.tree_util.register_dataclass,
     data_fields=[
         "pos", "vel", "mass", "ptype", "pid", "accel", "pot", "old_acc",
-        "dvel", "hsml_vd", "ngb_vd", "current_time", "max_pred_time",
+        "dvel", "hsml_vd", "ngb_vd", "vel_disp", "dens_vd",
+        "current_time", "max_pred_time",
         "egy_spec", "density", "hsml", "dt_egy", "dt_density", "dt_hsml",
         "div_vel", "curl_vel", "ngb_sph",
     ],
@@ -53,6 +54,8 @@ class Particles:
     dvel: jax.Array           # (N,3) pending scattering velocity kick
     hsml_vd: jax.Array        # (N,) SIDM/veldisp smoothing length (HsmlVelDisp)
     ngb_vd: jax.Array         # (N,) int32 neighbour count at hsml_vd
+    vel_disp: jax.Array       # (N,) local velocity dispersion (VELDISP)
+    dens_vd: jax.Array        # (N,) local DM density (DensVelDisp)
     # --- individual timesteps ---
     current_time: jax.Array   # (N,) particle proper integration time
     max_pred_time: jax.Array  # (N,) time at which the particle must be kicked
@@ -140,6 +143,8 @@ def make_particles(
         dvel=zeros3,
         hsml_vd=zeros1,
         ngb_vd=izeros,
+        vel_disp=zeros1,
+        dens_vd=zeros1,
         current_time=zeros1,
         max_pred_time=zeros1,
         egy_spec=pad1(egy_spec, 0.0, dtype) if egy_spec is not None else zeros1,

@@ -85,9 +85,35 @@ def find_timesteps(p: Particles, time, active, vmax, params: TimestepParams,
         dt = jnp.sqrt(2.0 * params.err_tol_int_accuracy * eps / ac * s_a)
     elif params.criterion == 1:
         dt = params.err_tol_vel_scale / ac
+    elif params.criterion in (2, 3, 4):
+        # velocity-dispersion / local-density criteria (timestep.c:163-224);
+        # gas parts use csnd, collisionless parts VelDisp / DensVelDisp
+        pressure = GAMMA_MINUS1 * p.egy_spec * jnp.maximum(p.density, 1e-30)
+        csnd_g = jnp.sqrt(GAMMA * pressure / jnp.maximum(p.density, 1e-30))
+        dens = jnp.where(p.is_gas, p.density, p.dens_vd)
+        dens = jnp.maximum(dens, 1e-30)
+        if params.comoving:
+            dt_sigma_gas = (params.err_tol_vel_scale
+                            * (csnd_g / jnp.sqrt(time)) / ac)
+            dt_rho = (3.0 * params.err_tol_int_accuracy * jnp.sqrt(1.5)
+                      * hubble_a * time
+                      / jnp.sqrt(4.0 * jnp.pi * params.G * dens * a3inv))
+        else:
+            dt_sigma_gas = params.err_tol_vel_scale * csnd_g / ac
+            dt_rho = (3.0 * params.err_tol_int_accuracy * jnp.sqrt(1.5)
+                      / jnp.sqrt(4.0 * jnp.pi * params.G * dens))
+        dt_sigma_dm = (params.err_tol_int_accuracy
+                       * jnp.maximum(p.vel_disp, 1e-30) / ac)
+        dt_sigma = jnp.where(p.is_gas, dt_sigma_gas, dt_sigma_dm)
+        if params.criterion == 2:
+            dt = dt_sigma
+        elif params.criterion == 3:
+            dt = dt_rho
+        else:
+            dt = jnp.minimum(dt_rho, dt_sigma)
     else:
         raise NotImplementedError(
-            f"TypeOfTimestepCriterion {params.criterion} needs VELDISP data")
+            f"TypeOfTimestepCriterion {params.criterion}")
 
     # --- SPH Courant (timestep.c:227-245) ---
     is_gas = p.is_gas
