@@ -141,3 +141,24 @@ class Timer:
         if self.log is not None:
             self.log.add(self.bucket, _time.perf_counter() - self.t0)
         return False
+
+
+class TimingsLog:
+    """FdTimings writer (DIAG, gravtree.c:331-404): per-step tree/force
+    statistics — interaction counts per particle and throughput."""
+
+    def __init__(self, path: str, append: bool = False):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self.f = open(path, "a" if append else "w")
+
+    def write(self, step: int, time: float, n_active: int,
+              n_pairs: int = 0, n_segs: int = 0, wall_s: float = 0.0):
+        per = (n_pairs + n_segs) / max(n_active, 1)
+        rate = n_active / max(wall_s, 1e-9)
+        self.f.write(f"Step= {step}  t= {time:g}  Nf= {n_active}\n")
+        self.f.write(f"   inter/part: {per:.1f}  (nodes {n_pairs}, "
+                     f"segs {n_segs})  part/sec: {rate:.5g}\n")
+        self.f.flush()
+
+    def close(self):
+        self.f.close()

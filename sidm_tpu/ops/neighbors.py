@@ -194,7 +194,8 @@ def gather_candidates(table: NeighborTable, pos_q, ptype_q, h_q, *, cap: int):
     entry = jnp.clip(entry, 0, table.sorted_part.shape[0] - 1)
     b = pos_q.shape[0]
     idx = table.sorted_part[entry].reshape(b, -1)
-    rows = table.rows[entry].reshape(b, -1, PAYLOAD_DIM)
+    dim = table.rows.shape[-1]  # payloads may be wider than PAYLOAD_DIM
+    rows = table.rows[entry].reshape(b, -1, dim)
     mask = mask.reshape(b, -1) & (payload_type(rows) == ptype_q[:, None])
     return idx, rows, mask, overflow
 
@@ -242,10 +243,22 @@ def default_cell_size(pos, valid, k: int, box=0.0):
     return max(r_k / 4.0, 1e-10)
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("k", "cap", "n_iter"))
+def _knn_chunk(table, pq, tq, hq, k, cap, n_iter):
+    return knn_radius(table, pq, tq, hq, k, cap=cap, n_iter=n_iter)
+
+
 def setup_smoothing_lengths(p, des_num_ngb: int, max_dev: int, box=None,
-                            cap: int = 96, block: int = 1024):
+                            cap: int = 96, chunk: int = 65536):
     """Initial hsml_vd for all collisionless particles
-    (init.c setup_smoothinglengths_sidm -> setup_nbr_sidm, sidm.c:630-805)."""
+    (init.c setup_smoothinglengths_sidm -> setup_nbr_sidm, sidm.c:630-805).
+
+    The per-target loop is chunked at the HOST level (one compiled
+    executable reused per chunk): a single multi-hundred-iteration device
+    loop of large gathers destabilizes the axon TPU backend."""
     import dataclasses
 
     boxv = 0.0 if box is None else float(box)
@@ -253,27 +266,21 @@ def setup_smoothing_lengths(p, des_num_ngb: int, max_dev: int, box=None,
     table = build_table(p.pos, p.ptype, p.valid, s0=s0, box=boxv)
 
     n = p.pos.shape[0]
-    nb = -(-n // block)
-    npad = nb * block
+    chunk = min(chunk, n)
+    npad = -(-n // chunk) * chunk
     pos_q = jnp.pad(p.pos, ((0, npad - n), (0, 0)))
     ptype_q = jnp.pad(p.ptype, (0, npad - n), constant_values=-1)
     h0 = jnp.full((npad,), 2.0 * s0, p.pos.dtype)
 
-    @jax.jit
-    def run(table, pos_q, ptype_q, h0):
-        # table passed as an argument: a closure would bake its arrays into
-        # the compiled program as constants (huge compile payloads)
-        def one(args):
-            pq, tq, hq = args
-            return knn_radius(table, pq, tq, hq, des_num_ngb,
-                              cap=cap, n_iter=4)
-        return lax.map(one, (pos_q.reshape(nb, block, 3),
-                             ptype_q.reshape(nb, block),
-                             h0.reshape(nb, block)))
-
-    h, cnt, ovf = run(table, pos_q, ptype_q, h0)
-    h = h.reshape(-1)[:n]
-    cnt = cnt.reshape(-1)[:n]
+    hs, cs = [], []
+    for i in range(npad // chunk):
+        sl = slice(i * chunk, (i + 1) * chunk)
+        h_c, cnt_c, _ = _knn_chunk(table, pos_q[sl], ptype_q[sl], h0[sl],
+                                   des_num_ngb, cap, 4)
+        hs.append(h_c)
+        cs.append(cnt_c)
+    h = jnp.concatenate(hs)[:n]
+    cnt = jnp.concatenate(cs)[:n]
     hsml_vd = jnp.where(p.is_collisionless, h, p.hsml_vd)
     ngb_vd = jnp.where(p.is_collisionless, cnt, p.ngb_vd).astype(jnp.int32)
     return dataclasses.replace(p, hsml_vd=hsml_vd, ngb_vd=ngb_vd)

@@ -40,6 +40,7 @@ Differences from the reference, by design:
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -380,3 +381,214 @@ def _resolve_conflicts(proposal, n):
 
     _, accepted = lax.while_loop(cond, body, (pending, accepted))
     return accepted
+
+
+# --------------------------------------------------------------------------
+# Phased (host-chunked) execution path for large N.
+#
+# One fused XLA program holding the whole DSMC pass (hsml refresh + partner
+# scan over ~N/block device-loop iterations) destabilizes the axon TPU
+# backend at N >~ 5e5 (worker crash in long gather-heavy programs). The
+# phased path runs the same math as a handful of separately jitted calls,
+# with the per-target loops chunked at the HOST level; every chunk reuses
+# one compiled executable. Physics is identical to sidm_scatter.
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("params", "box"))
+def sidm_build_table(p: Particles, pos_pred, params: SidmParams, box=0.0):
+    """Neighbour table with the SIDM payload at predicted positions."""
+    from .neighbors import build_table, make_payload
+
+    dtype = pos_pred.dtype
+    if box:
+        vol = jnp.asarray(box, dtype) ** 3
+    else:
+        ext = (jnp.max(jnp.where(p.valid[:, None], pos_pred, -jnp.inf), 0)
+               - jnp.min(jnp.where(p.valid[:, None], pos_pred, jnp.inf), 0))
+        vol = jnp.prod(jnp.maximum(ext, 1e-10))
+    n_valid = jnp.maximum(jnp.sum(p.valid), 1)
+    r_k = (3.0 * params.des_num_ngb * vol
+           / (4.0 * jnp.pi * n_valid)) ** (1.0 / 3.0)
+    hpos = jnp.where(p.hsml_vd > 0, p.hsml_vd, jnp.inf)
+    hmin = jnp.min(jnp.where(p.is_collisionless, hpos, jnp.inf))
+    s0 = jnp.where(jnp.isfinite(hmin), jnp.maximum(hmin, 1e-12), r_k / 2.0)
+    has_pending = jnp.any(p.dvel != 0.0, axis=-1)
+    payload = make_payload(pos_pred, p.vel, p.mass, p.ptype,
+                           flag=has_pending)
+    return build_table(pos_pred, p.ptype, p.valid, s0=s0, box=box,
+                       n_levels=params.n_levels, payload=payload)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _hsml_chunk(table, pq, tq, hq, params: SidmParams):
+    from .neighbors import knn_radius
+    return knn_radius(table, pq, tq, hq, params.des_num_ngb,
+                      cap=params.cap, n_iter=3)
+
+
+@partial(jax.jit, static_argnames=("params", "box"))
+def _scan_chunk(table, bpos, bvel, bh, btype, bgate, brand, bdt, bidx,
+                time, sigma_co, params: SidmParams, box=0.0):
+    from .neighbors import gather_candidates, payload_flag
+
+    idx, rows, mask, _ = gather_candidates(table, bpos, btype, bh,
+                                           cap=params.cap)
+    d = rows[..., 0:3] - bpos[:, None, :]
+    if box:
+        d = d - box * jnp.round(d / box)
+    r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+    ok = (mask & (r < bh[:, None]) & (idx != bidx[:, None])
+          & (~payload_flag(rows)))
+    wk = sph_kernel(r / bh[:, None]) / (bh[:, None] ** 3)
+    rv_vec = bvel[:, None, :] - rows[..., 3:6]
+    rv = jnp.sqrt(jnp.sum(rv_vec * rv_vec, axis=-1))
+    sv = sigma_v_product(rv, time, sigma_co, params.cross_section_type,
+                         params.yukawa_velocity,
+                         params.cross_section_vel_scale,
+                         params.cross_section_pow_law, params.comoving)
+    prob = jnp.where(ok, 0.5 * rows[..., 6] * wk * sv * bdt[:, None], 0.0)
+    cum = jnp.cumsum(prob, axis=1)
+    crossed = bgate[:, None] & (cum >= brand[:, None])
+    any_cross = jnp.any(crossed, axis=1)
+    first = jnp.argmax(crossed, axis=1)
+    partner = jnp.where(any_cross, jnp.take_along_axis(
+        idx, first[:, None], axis=1)[:, 0], -1)
+    return partner, any_cross
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _sidm_finish(p: Particles, pos_pred, partner, hit, time, vmax, key,
+                 params: SidmParams):
+    """Angular rejection (type 4), conflict resolution, kicks, events."""
+    n = pos_pred.shape[0]
+    dtype = pos_pred.dtype
+    u = particle_uniforms(key, p.pid, 3)
+    cos_theta = None
+    if params.cross_section_type == 4:
+        vc = params.yukawa_velocity / jnp.sqrt(time) if params.comoving \
+            else params.yukawa_velocity
+        pj = jnp.clip(partner, 0, n - 1)
+        rel = p.vel - p.vel[pj]
+        rv = jnp.sqrt(jnp.sum(rel * rel, axis=-1))
+        beta = rv / vc
+        cos_theta = 2.0 * u[:, 2].astype(dtype) - 1.0
+        sin22 = 0.5 * (1.0 - cos_theta)
+        denom = 1.0 + beta * beta * sin22
+        accept = (u[:, 1].astype(dtype) < 1.0 / (denom * denom)) & (rv > 0)
+        hit = hit & accept
+
+    proposal = jnp.where(hit & (partner >= 0), partner, -1)
+    accepted = _resolve_conflicts(proposal, n)
+
+    pj = jnp.clip(proposal, 0, n - 1)
+    rel = p.vel - p.vel[pj]
+    rv = jnp.sqrt(jnp.sum(rel * rel, axis=-1))
+    nhat = random_directions(key, p.pid).astype(dtype)
+    if params.cross_section_type == 4:
+        sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+        nperp = _perp_unit(rel, nhat)
+        delta = -rel + cos_theta[:, None] * rel + (sin_t * rv)[:, None] * nperp
+    else:
+        delta = -rel + rv[:, None] * nhat
+    mi, mj = p.mass, p.mass[pj]
+    msum = jnp.maximum(mi + mj, 1e-30)
+    dv_i = (mj / msum)[:, None] * delta
+    dv_j = -(mi / msum)[:, None] * delta
+    dvel = p.dvel + jnp.where(accepted[:, None], dv_i, 0.0)
+    dvel = dvel.at[pj].add(jnp.where(accepted[:, None], dv_j, 0.0))
+    n_scattered = jnp.sum(accepted.astype(jnp.int32))
+    p = dataclasses.replace(p, dvel=dvel)
+    if params.log_events:
+        ev = _collect_events(p, pos_pred, time, accepted, pj, dv_i,
+                             params.event_cap)
+        return p, n_scattered, ev
+    return p, n_scattered, None
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _sidm_gate(p: Particles, time, active, vmax, key, params: SidmParams):
+    dtype = p.pos.dtype
+    dt = 2.0 * (time - p.current_time)
+    s_inv = drift_factor(time, params.hubble, params.omega0,
+                         params.omega_lambda, params.comoving)
+    dt_h0 = jnp.where(active, dt, 0.0) * s_inv
+    sigma_co = cross_section_co(time, params.cross_section_internal,
+                                params.cross_section_type, params.comoving)
+    c_pmax = sidm_cmax(
+        time, vmax, params.cross_section_internal, params.cross_section_type,
+        params.yukawa_velocity, params.cross_section_vel_scale,
+        params.des_num_ngb, params.max_num_ngb_dev,
+        params.hubble, params.omega0, params.omega_lambda,
+        params.comoving, per_dt_h0=True)
+    has_pending = jnp.any(p.dvel != 0.0, axis=-1)
+    eligible = (active & p.is_collisionless & p.valid
+                & (~has_pending) & (dt_h0 > 0))
+    u = particle_uniforms(key, p.pid, 3)
+    rand = u[:, 0].astype(dtype)
+    h_scat = SCAT_KERNEL_FACTOR * p.hsml_vd
+    hinv3 = jnp.where(h_scat > 0, 1.0 / jnp.maximum(h_scat, 1e-30) ** 3, 0.0)
+    p_max = c_pmax * p.mass * hinv3 * dt_h0
+    gate = eligible & (p_max >= rand)
+    return gate, rand, dt_h0, h_scat, sigma_co
+
+
+def sidm_scatter_phased(p: Particles, pos_pred, time, active, vmax, key,
+                        params: SidmParams, box=0.0,
+                        chunk: int = 65536):
+    """Host-chunked DSMC pass (same physics as sidm_scatter)."""
+    import numpy as _np
+
+    n = pos_pred.shape[0]
+    table = sidm_build_table(p, pos_pred, params, box)
+
+    # --- hsml refresh, chunked ---
+    warm = jnp.where(p.hsml_vd > 0, p.hsml_vd, 2.0 * table.s0)
+    npad = -(-n // chunk) * chunk
+    posq = jnp.pad(pos_pred, ((0, npad - n), (0, 0)))
+    typq = jnp.pad(p.ptype, (0, npad - n), constant_values=-1)
+    hq = jnp.pad(warm, (0, npad - n), constant_values=1.0)
+    hs, cnts = [], []
+    for i in range(npad // chunk):
+        sl = slice(i * chunk, (i + 1) * chunk)
+        h_c, cnt_c, _ = _hsml_chunk(table, posq[sl], typq[sl], hq[sl], params)
+        hs.append(h_c)
+        cnts.append(cnt_c)
+    h = jnp.concatenate(hs)[:n]
+    cnt = jnp.concatenate(cnts)[:n].astype(jnp.int32)
+    upd = p.is_collisionless & active
+    p = dataclasses.replace(
+        p, hsml_vd=jnp.where(upd, h, p.hsml_vd),
+        ngb_vd=jnp.where(upd, cnt, p.ngb_vd))
+
+    # --- gate + partner scan, chunked ---
+    gate, rand, dt_h0, h_scat, sigma_co = _sidm_gate(
+        p, time, active, vmax, key, params)
+    idxs = jnp.arange(n, dtype=jnp.int32)
+
+    def padq(a, fill):
+        return jnp.pad(a, [(0, npad - n)] + [(0, 0)] * (a.ndim - 1),
+                       constant_values=fill)
+
+    velq = padq(p.vel, 0.0)
+    hsq = padq(h_scat, 1.0)
+    gq = padq(gate, False)
+    rq = padq(rand, 2.0)
+    dtq = padq(dt_h0, 0.0)
+    iq = padq(idxs, -1)
+    partners, hits = [], []
+    for i in range(npad // chunk):
+        sl = slice(i * chunk, (i + 1) * chunk)
+        pt, ht = _scan_chunk(table, posq[sl], velq[sl], hsq[sl], typq[sl],
+                             gq[sl], rq[sl], dtq[sl], iq[sl],
+                             time, sigma_co, params, box)
+        partners.append(pt)
+        hits.append(ht)
+    partner = jnp.concatenate(partners)[:n]
+    hit = jnp.concatenate(hits)[:n]
+
+    p, n_scat, events = _sidm_finish(p, pos_pred, partner, hit, time, vmax,
+                                     key, params)
+    if params.log_events:
+        return p, n_scat, events
+    return p, n_scat

@@ -47,8 +47,8 @@ from .tree import Octree, build_octree
 class WalkConfig(NamedTuple):
     group_size: int = 64         # targets per traversal group
     frontier_factor: int = 12    # global frontier cap = factor * n_targets
-    pair_factor: int = 24        # node-pair buffer cap = factor * n_targets
-    seg_factor: int = 12         # segment buffer cap = factor * n_targets
+    pair_factor: int = 48        # node-pair buffer cap = factor * n_targets
+    seg_factor: int = 16         # segment buffer cap = factor * n_targets
     leaf_cap: int = 16           # open cells down to <= this many particles
     seg_gather: int = 16         # particle slots per segment row (>= leaf_cap)
     big_cell_cap: int = 8192     # distinct overfull deepest-level cells
@@ -301,6 +301,20 @@ def eval_flat(tree: Octree, gtargets, geps, walk_out, cfg: WalkConfig,
     acc = jnp.zeros((ngroups, G, 3), dtype)
     pot = jnp.zeros((ngroups, G), dtype)
 
+    # Sort interaction lists by group (junk rows keyed to the overflow
+    # segment `ngroups`): per-chunk accumulation then becomes a SORTED
+    # segment-sum — a streaming reduction — instead of a scatter-add, which
+    # XLA serializes per index on TPU.
+    pkey = jnp.where(jnp.arange(pair_g.shape[0]) < pcnt, pair_g, ngroups)
+    porder = jnp.argsort(pkey)
+    pair_g = pkey[porder]
+    pair_n = pair_n[porder]
+    skey = jnp.where(jnp.arange(seg_g.shape[0]) < scnt, seg_g, ngroups)
+    sorder = jnp.argsort(skey)
+    seg_g = skey[sorder]
+    seg_s = seg_s[sorder]
+    seg_c = seg_c[sorder]
+
     # ---- multipole pairs ----
     R = min(cfg.node_chunk, pair_g.shape[0])
     nch = -(-pair_g.shape[0] // R)
@@ -309,11 +323,12 @@ def eval_flat(tree: Octree, gtargets, geps, walk_out, cfg: WalkConfig,
         acc, pot = carry
         fg = lax.dynamic_slice_in_dim(pair_g, i * R, R)
         fn = lax.dynamic_slice_in_dim(pair_n, i * R, R)
-        live = (i * R + jnp.arange(R)) < pcnt
+        live = fg < ngroups
+        fgc = jnp.minimum(fg, ngroups - 1)
         mrow = tree.mac_rows[fn]
         qrow = tree.quad_rows[fn]
-        tg = gtargets[fg]                              # (R,G,3)
-        te = geps[fg]                                  # (R,G)
+        tg = gtargets[fgc]                             # (R,G,3)
+        te = geps[fgc]                                 # (R,G)
         com = mrow[:, 0:3]
         m = jnp.where(live, mrow[:, 3], 0.0)
         d = com[:, None, :] - tg
@@ -334,8 +349,12 @@ def eval_flat(tree: Octree, gtargets, geps, walk_out, cfg: WalkConfig,
         if ewald is not None:
             a = a + m[:, None, None] * ewald.force_correction(d)
             p = p + m[:, None] * ewald.pot_correction(d)
-        acc = acc.at[fg].add(a)
-        pot = pot.at[fg].add(p)
+        acc = acc + jax.ops.segment_sum(
+            a, fg, num_segments=ngroups + 1,
+            indices_are_sorted=True)[:ngroups]
+        pot = pot + jax.ops.segment_sum(
+            p, fg, num_segments=ngroups + 1,
+            indices_are_sorted=True)[:ngroups]
         return (acc, pot), None
 
     def node_cond(st):
@@ -359,15 +378,16 @@ def eval_flat(tree: Octree, gtargets, geps, walk_out, cfg: WalkConfig,
         fg = lax.dynamic_slice_in_dim(seg_g, i * Rs, Rs)
         st = lax.dynamic_slice_in_dim(seg_s, i * Rs, Rs)
         ct = lax.dynamic_slice_in_dim(seg_c, i * Rs, Rs)
-        live = (i * Rs + jnp.arange(Rs)) < scnt
+        live = fg < ngroups
+        fgc = jnp.minimum(fg, ngroups - 1)
         slot = jnp.arange(C, dtype=jnp.int32)
         pidx = jnp.clip(st[:, None] + slot[None, :], 0,
                         tree.pos_s.shape[0] - 1)       # (Rs,C) contiguous
         prow = tree.part_rows[pidx]                    # (Rs,C,8)
         pm_all = jnp.where(live[:, None] & (slot[None, :] < ct[:, None]),
                            prow[..., 3], 0.0)
-        tg = gtargets[fg]                              # (Rs,G,3)
-        te = geps[fg]
+        tg = gtargets[fgc]                             # (Rs,G,3)
+        te = geps[fgc]
 
         # accumulate slot-by-slot so only (Rs,G,3) intermediates exist —
         # XLA would otherwise materialize the (Rs,C,G,3) tensor in HBM
@@ -391,8 +411,12 @@ def eval_flat(tree: Octree, gtargets, geps, walk_out, cfg: WalkConfig,
         a0 = jnp.zeros((Rs, G, 3), gtargets.dtype)
         p0 = jnp.zeros((Rs, G), gtargets.dtype)
         a, p = lax.fori_loop(0, C, one_slot, (a0, p0))
-        acc = acc.at[fg].add(a)
-        pot = pot.at[fg].add(p)
+        acc = acc + jax.ops.segment_sum(
+            a, fg, num_segments=ngroups + 1,
+            indices_are_sorted=True)[:ngroups]
+        pot = pot + jax.ops.segment_sum(
+            p, fg, num_segments=ngroups + 1,
+            indices_are_sorted=True)[:ngroups]
         return (acc, pot), None
 
     def seg_cond(st):

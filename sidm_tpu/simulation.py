@@ -302,6 +302,134 @@ class Simulation:
 
         return do_step
 
+    # ---- phased stepping for large N -------------------------------------
+    #
+    # One fused step program is ideal, but very long gather-heavy single XLA
+    # programs destabilize the axon TPU backend above roughly half a million
+    # particles. The phased path runs the same physics as a few separately
+    # jitted calls with host-level chunking of the per-target loops (see
+    # ops/sidm.py sidm_scatter_phased).
+
+    PHASE_THRESHOLD = 262144
+
+    def _build_phases(self):
+        consts = self.consts
+        params = self._timestep_params()
+        sync = self.mode == "synchronized"
+        time_max = self.cfg.TimeMax
+        cfg = self.cfg
+        boxv = cfg.BoxSize if cfg.PeriodicBoundariesOn else None
+        ewald = self._ewald_table()
+
+        from .ops.tree import build_octree
+        from .ops.treeforce import WalkConfig, eval_targets
+
+        wcfg = WalkConfig()
+
+        @partial(jax.jit, static_argnums=())
+        def phase_force(p: Particles, vmax):
+            t_next = jnp.minimum(integrate.find_next_time(p), time_max)
+            active = integrate.active_mask(p, t_next)
+            pos_pred, vel_pred = integrate.predict_positions(p, t_next,
+                                                             consts)
+            eps = params.softening_table[jnp.clip(p.ptype, 0, 5)]
+            mass = jnp.where(p.valid, p.mass, 0.0)
+            tree = build_octree(pos_pred, mass, eps, p.valid,
+                                box=boxv or 0.0)
+            toac = (p.old_acc[tree.perm]
+                    * cfg.ErrTolForceAcc).astype(pos_pred.dtype)
+            raw_acc, pot, _ = eval_targets(
+                tree, tree.pos_s, tree.eps_s, toac, (mass > 0)[tree.perm],
+                box=boxv, theta=cfg.ErrTolTheta,
+                use_relative=(cfg.TypeOfOpeningCriterion == 1),
+                config=wcfg, ewald=ewald, presorted=True)
+            n = pos_pred.shape[0]
+            inv = jnp.zeros(n, jnp.int32).at[tree.perm].set(
+                jnp.arange(n, dtype=jnp.int32))
+            raw_acc = jnp.where(p.valid[:, None], raw_acc[inv], 0.0)
+            pot = pot[inv] + mass / jnp.maximum(eps, 1e-30)
+            pot = jnp.where(p.valid, pot, 0.0)
+            accel, old_acc = integrate.apply_accel_postfactors(
+                raw_acc, pos_pred, vel_pred, t_next, consts)
+            p = dataclasses.replace(
+                p,
+                accel=jnp.where(active[:, None], accel, p.accel),
+                old_acc=jnp.where(active, old_acc, p.old_acc),
+                pot=jnp.where(active, pot, p.pot),
+            )
+            return p, t_next, active, pos_pred, tree
+
+        @partial(jax.jit, static_argnums=(4,))
+        def phase_finish(p: Particles, t_next, active, vmax, first):
+            p = integrate.advance(p, t_next, active, consts)
+            if consts.reflection_radius > 0:
+                p = integrate.reflect(p, consts.reflection_radius)
+            if consts.periodic:
+                p = integrate.box_wrap(p, consts.box_size)
+            new_mpt = timestep.find_timesteps(p, t_next, active, vmax,
+                                              params, first=first)
+            if sync:
+                mpt_min = jnp.min(jnp.where(p.valid, new_mpt,
+                                            MAX_REAL_NUMBER))
+                new_mpt = jnp.where(p.valid, mpt_min, new_mpt)
+            p = dataclasses.replace(p, max_pred_time=new_mpt)
+            vmax_new = timestep.get_vmax(p)
+            n_active = jnp.sum(active.astype(jnp.int32))
+            return p, vmax_new, n_active
+
+        return phase_force, phase_finish
+
+    def _sidm_params_for_phased(self):
+        from .ops.sidm import SidmParams
+        cfg, u = self.cfg, self.units
+        return SidmParams(
+            cross_section_internal=u.CrossSectionInternal,
+            cross_section_type=cfg.CrossSectionType,
+            yukawa_velocity=cfg.YukawaVelocity,
+            cross_section_vel_scale=cfg.CrossSectionVelScale,
+            cross_section_pow_law=cfg.CrossSectionPowLaw,
+            des_num_ngb=cfg.DesNumNgb,
+            max_num_ngb_dev=cfg.MaxNumNgbDeviation,
+            comoving=bool(cfg.ComovingIntegrationOn),
+            hubble=u.Hubble, omega0=cfg.Omega0,
+            omega_lambda=cfg.OmegaLambda,
+            log_events=bool(cfg.ScatterLog))
+
+    def step_phased(self, first: bool = False):
+        from .ops.sidm_tree import sidm_scatter_tree
+        if getattr(self, "_phases", None) is None:
+            self._phases = self._build_phases()
+        phase_force, phase_finish = self._phases
+        key = step_key(self.root_key,
+                       0x7FFFFFFF if first else self.step_count)
+        vmax = jnp.asarray(self.vmax, self.dtype)
+
+        p, t_next, active, pos_pred, tree = phase_force(self.particles, vmax)
+
+        n_scat = 0
+        events = None
+        if self.cfg.SIDMOn and self.cfg.CrossSection > 0:
+            params = self._sidm_params_for_phased()
+            box = self.cfg.BoxSize if self.cfg.PeriodicBoundariesOn else 0.0
+            out = sidm_scatter_tree(p, pos_pred, tree, t_next, active, vmax,
+                                    key, params, box=box,
+                                    salt=self.step_count)
+            if params.log_events:
+                p, n_scat, events = out
+            else:
+                p, n_scat = out
+
+        p, vmax_new, n_active = phase_finish(p, t_next, active, vmax, first)
+        self.particles = p
+        prev_time = self.time
+        self.time = float(t_next)
+        self.vmax = float(vmax_new)
+        if not first:
+            self.step_count += 1
+            if events is not None and self.cfg.ScatterLog:
+                self._write_scatter_log(events)
+        return self.time - prev_time, int(n_active), int(n_scat)
+
     def prepare(self):
         """init() equivalent (nbody/init.c:20-199): initial smoothing lengths,
         first force evaluation, initial timesteps, initial system state."""
@@ -321,19 +449,32 @@ class Simulation:
 
         # first force + initial timesteps via one "first" step with dt=0:
         # emulate init.c by evaluating the force at TimeBegin and calling
-        # find_timesteps(mode=2). We reuse do_step with first=True and all
-        # max_pred_time == TimeBegin so t_next == TimeBegin and dt == 0.
-        if self._step_jit is None:
-            self._step_jit = self._build_step()
-        key = step_key(self.root_key, 0x7FFFFFFF)  # init-phase sentinel
-        p, t, vmax, _, _, _ = self._step_jit(self.particles, self.vmax, key,
-                                             True)
-        self.particles, self.time, self.vmax = p, float(t), float(vmax)
+        # find_timesteps(mode=2) — all max_pred_time == TimeBegin so
+        # t_next == TimeBegin and dt == 0.
+        if self._use_phased():
+            self.step_phased(first=True)
+        else:
+            if self._step_jit is None:
+                self._step_jit = self._build_step()
+            key = step_key(self.root_key, 0x7FFFFFFF)  # init-phase sentinel
+            p, t, vmax, _, _, _ = self._step_jit(self.particles, self.vmax,
+                                                 key, True)
+            self.particles, self.time, self.vmax = p, float(t), float(vmax)
 
         self.sys_state_at_start = jax.tree.map(
             np.asarray, compute_system_state(self.particles))
 
+    def _use_phased(self) -> bool:
+        if self.mode == "phased":
+            return True
+        if self.mode == "fused":
+            return False
+        return (self.particles is not None
+                and self.particles.n_padded >= self.PHASE_THRESHOLD)
+
     def step(self):
+        if self._use_phased():
+            return self.step_phased()
         if self._step_jit is None:
             self._step_jit = self._build_step()
         key = step_key(self.root_key, self.step_count)
