@@ -324,8 +324,8 @@ def _tree_sidm_prep(p: Particles, pos_pred, perm, time, active, vmax, key,
 
 @partial(jax.jit, static_argnames=("params", "log_events"))
 def _tree_sidm_finish(p: Particles, pos_pred, perm, inv, ptot_t, best_t,
-                      cnt_t, bj_t, time, vmax, key, params: SidmParams,
-                      log_events: bool):
+                      cnt_t, bj_t, time, active, vmax, key,
+                      params: SidmParams, log_events: bool):
     """Gate + band check + conflict resolution + kicks + hsml controller.
 
     Inputs are flat per-sorted-target arrays (length n)."""
@@ -355,10 +355,14 @@ def _tree_sidm_finish(p: Particles, pos_pred, perm, inv, ptot_t, best_t,
     h_scat = SCAT_KERNEL_FACTOR * p.hsml_vd
     hinv3 = jnp.where(h_scat > 0, 1.0 / jnp.maximum(h_scat, 1e-30) ** 3, 0.0)
     p_max = c_pmax * p.mass * hinv3 * dt_h0
-    in_band = (cnt >= params.des_num_ngb - params.max_num_ngb_dev) & \
-              (cnt <= params.des_num_ngb + params.max_num_ngb_dev)
+    # NOTE on the reference's neighbour-count band check (sidm.c:512-519):
+    # there it guards against an Hsml inconsistent with the tree search that
+    # enumerated the neighbours. Here the range walk always enumerates ALL
+    # particles within h, so Sum_j m_j W(r;h) is an unbiased rate estimate
+    # for any h and gating on the count would only bias rates downward while
+    # the controller settles; the band is therefore diagnostic only.
     eligible = p.is_collisionless & p.valid & (~has_pending)
-    hit = (eligible & in_band & (rand < p_max) & (rand < ptot)
+    hit = (eligible & active & (rand < p_max) & (rand < ptot)
            & (partner >= 0) & (~has_pending[jnp.clip(partner, 0, n - 1)]))
 
     # type-4 angular rejection (sidm.c:391-438)
@@ -397,8 +401,9 @@ def _tree_sidm_finish(p: Particles, pos_pred, perm, inv, ptot_t, best_t,
     dvel = dvel.at[pj].add(jnp.where(accepted[:, None], dv_j, 0.0))
     n_scattered = jnp.sum(accepted.astype(jnp.int32))
 
-    # hsml controller toward DesNumNgb (density.c:304-325 analog)
-    upd = p.is_collisionless & p.valid & (dt_h0 > 0)
+    # hsml controller toward DesNumNgb (density.c:304-325 analog); only
+    # targets that were actually scanned this step (active) may update
+    upd = p.is_collisionless & p.valid & active & (dt_h0 > 0)
     ratio = (params.des_num_ngb
              / jnp.maximum(cnt, 1).astype(dtype)) ** (1.0 / 3.0)
     h_new = p.hsml_vd * jnp.clip(ratio, 0.7, 1.3)
@@ -485,8 +490,90 @@ def sidm_scatter_tree(p: Particles, pos_pred, tree: Octree, time, active,
     flat = lambda x: x.reshape(npad)[:n]
     out = _tree_sidm_finish(
         p, pos_pred, tree.perm, inv, flat(ptot), flat(best),
-        flat(cnt), flat(bj), time, vmax, key, params, params.log_events)
+        flat(cnt), flat(bj), time, active, vmax, key, params,
+        params.log_events)
     p2, n_scat, ev = out
     if params.log_events:
         return p2, n_scat, ev
     return p2, n_scat
+
+
+def tree_hsml_init(p: Particles, tree: Octree, k: int,
+                   cfg: RangeWalkConfig = None, iters: int = 10):
+    """Initial smoothing lengths for collisionless particles at scale
+    (setup_smoothinglengths_sidm analog, init.c:159).
+
+    Seed: local spacing from the Morton-sorted neighbour k/2 positions away
+    (order-of-magnitude correct), then the multiplicative neighbour-count
+    controller for ``iters`` passes. Exact band membership follows within a
+    few regular steps; the count band check gates scattering meanwhile."""
+    cfg = cfg or RangeWalkConfig()
+    n = tree.pos_s.shape[0]
+    dtype = tree.pos_s.dtype
+    G = cfg.group_size
+
+    # Morton-window spacing seed (sorted order)
+    w = max(k // 2, 4)
+    shifted = jnp.roll(tree.pos_s, -w, axis=0)
+    d = jnp.linalg.norm(shifted - tree.pos_s, axis=-1)
+    h_sorted = jnp.maximum(d * 1.3, tree.extent * 1e-7)
+    inv = jnp.zeros(n, jnp.int32).at[tree.perm].set(
+        jnp.arange(n, dtype=jnp.int32))
+    h = h_sorted[inv]
+    h = jnp.where(p.is_collisionless & p.valid, h, 0.0)
+
+    col = p.is_collisionless & p.valid
+    typs = jnp.where(col, p.ptype, -9)[tree.perm]
+    rows = jnp.concatenate([
+        tree.pos_s,
+        jnp.zeros((n, 3), dtype),
+        jnp.ones((n, 1), dtype),
+        jnp.clip(typs, 0, 7).astype(dtype)[:, None]], axis=1)
+
+    ng = -(-n // G)
+    npad = ng * G
+
+    def gpadf(x, fill=0.0):
+        return jnp.concatenate(
+            [x, jnp.full((npad - n,) + x.shape[1:], fill, x.dtype)])
+
+    gt = gpadf(tree.pos_s).reshape(ng, G, 3)
+    gv = jnp.zeros((ng, G, 3), dtype)
+    gdt = jnp.ones((ng, G), dtype)
+    gtype = gpadf(typs.astype(jnp.float32), -9.0).reshape(
+        ng, G).astype(jnp.int32)
+    glo = jnp.min(gt, axis=1)
+    ghi = jnp.max(gt, axis=1)
+
+    Rs = cfg.scan_chunk
+    for it in range(iters):
+        hs = h[tree.perm]
+        gh = gpadf(hs).reshape(ng, G)
+        pad = jnp.max(gh, axis=1)
+        seg_g, seg_s, seg_c, scnt, _ = range_walk(tree, glo, ghi, pad, cfg)
+        ptot = jnp.zeros((ng, G), dtype)
+        best = jnp.full((ng, G), -jnp.inf, dtype)
+        cnt = jnp.zeros((ng, G), jnp.int32)
+        bj = jnp.full((ng, G), -1, jnp.int32)
+        used = -(-max(int(scnt), 1) // Rs)
+        total_chunks = -(-seg_g.shape[0] // Rs)
+        for i in range(min(used, total_chunks)):
+            ptot, best, cnt, bj = sidm_seg_pass(
+                rows, seg_g, seg_s, seg_c, i * Rs, gt, gv, gh, gdt, gtype,
+                ptot, best, cnt, bj, jnp.asarray(1.0, dtype),
+                jnp.asarray(0.0, dtype), jnp.uint32(it), _HSML_PARAMS,
+                Rs, "A", 0.0)
+        cnt_flat = cnt.reshape(npad)[:n][inv]
+        ratio = (k / jnp.maximum(cnt_flat, 1).astype(dtype)) ** (1.0 / 3.0)
+        h = jnp.where(col, h * jnp.clip(ratio, 0.5, 2.0), h)
+
+    import numpy as _np
+    cnt_final = cnt.reshape(npad)[:n][inv]
+    return dataclasses.replace(
+        p,
+        hsml_vd=jnp.where(col, h, p.hsml_vd),
+        ngb_vd=jnp.where(col, cnt_final, p.ngb_vd).astype(jnp.int32))
+
+
+# dummy params for count-only passes (hard sphere, sigma 0 -> prob 0)
+_HSML_PARAMS = SidmParams(0.0, 0, 1.0, 1.0, 0.0, 32, 2, False, 0.1, 0.0, 0.0)

@@ -211,7 +211,7 @@ class Simulation:
         params = self._timestep_params()
         force_fn = self._make_force_fn()
         sidm_fn = self._make_sidm_fn()
-        sync = self.mode == "synchronized"
+        sync = self.mode != "individual"
         time_max = self.cfg.TimeMax
         has_gas = bool(self.particles is not None
                        and np.any(np.asarray(self.particles.ptype) == 0))
@@ -315,7 +315,7 @@ class Simulation:
     def _build_phases(self):
         consts = self.consts
         params = self._timestep_params()
-        sync = self.mode == "synchronized"
+        sync = self.mode != "individual"
         time_max = self.cfg.TimeMax
         cfg = self.cfg
         boxv = cfg.BoxSize if cfg.PeriodicBoundariesOn else None
@@ -439,10 +439,21 @@ class Simulation:
 
         # initial SIDM smoothing lengths (init.c setup_smoothinglengths_sidm)
         if cfg.SIDMOn and cfg.CrossSection > 0:
-            from .ops.neighbors import setup_smoothing_lengths
-            box = cfg.BoxSize if cfg.PeriodicBoundariesOn else None
-            p = setup_smoothing_lengths(
-                p, cfg.DesNumNgb, cfg.MaxNumNgbDeviation, box=box)
+            if self._use_phased():
+                from .ops.sidm_tree import tree_hsml_init
+                from .ops.tree import build_octree
+                soft = jnp.asarray(softening_table(cfg, self.time),
+                                   self.dtype)
+                eps = soft[jnp.clip(p.ptype, 0, 5)]
+                tree = build_octree(
+                    p.pos, jnp.where(p.valid, p.mass, 0.0), eps, p.valid,
+                    box=cfg.BoxSize if cfg.PeriodicBoundariesOn else 0.0)
+                p = tree_hsml_init(p, tree, cfg.DesNumNgb)
+            else:
+                from .ops.neighbors import setup_smoothing_lengths
+                box = cfg.BoxSize if cfg.PeriodicBoundariesOn else None
+                p = setup_smoothing_lengths(
+                    p, cfg.DesNumNgb, cfg.MaxNumNgbDeviation, box=box)
 
         self.vmax = float(timestep.get_vmax(p))
         self.particles = p
