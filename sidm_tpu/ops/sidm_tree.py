@@ -207,10 +207,9 @@ def _pair_gumbel(i_idx, j_idx, salt):
     return -jnp.log(-jnp.log(uf))
 
 
-@partial(jax.jit, static_argnames=("params", "Rs", "mode", "box"))
-def sidm_seg_pass(part_rows, seg_g, seg_s, seg_c, i0, gt, gv, gh, gdt,
-                  gtype, ptot, best, cnt, bj, time, sigma_co, salt,
-                  params: SidmParams, Rs: int, mode: str, box=0.0):
+def _seg_pass_chunk(part_rows, seg_g, seg_s, seg_c, i0, gt, gv, gh, gdt,
+                    gtype, ptot, best, cnt, bj, time, sigma_co, salt,
+                    params: SidmParams, Rs: int, mode: str, box=0.0):
     """One host chunk of segment rows.
 
     mode "A": accumulate (P_tot, running count, running max Gumbel key).
@@ -436,10 +435,46 @@ def _group_geometry(tree: Octree, hs, cfg: RangeWalkConfig):
     return gt, gh, glo, ghi, pad, ng, npad
 
 
+@partial(jax.jit, static_argnames=("params", "cfg", "box"))
+def _scan_all(rows, seg_g, seg_s, seg_c, scnt, gt, gv, gh, gdt, gtype,
+              time, sigma_co, salt, params: SidmParams,
+              cfg: RangeWalkConfig, box=0.0):
+    """Both scan passes as device-side while_loops over segment chunks."""
+    ng, G = gh.shape
+    dtype = gt.dtype
+    Rs = min(cfg.scan_chunk, seg_g.shape[0])
+
+    def run_pass(mode, best_in):
+        ptot = jnp.zeros((ng, G), dtype)
+        best = jnp.full((ng, G), -jnp.inf, dtype) if mode == "A" else best_in
+        cnt = jnp.zeros((ng, G), jnp.int32)
+        bj = jnp.full((ng, G), -1, jnp.int32)
+
+        def cond(st):
+            return st[0] * Rs < scnt
+
+        def body(st):
+            i, ptot, best, cnt, bj = st
+            ptot, best, cnt, bj = _seg_pass_chunk(
+                rows, seg_g, seg_s, seg_c, i * Rs, gt, gv, gh, gdt, gtype,
+                ptot, best, cnt, bj, time, sigma_co, salt, params, Rs,
+                mode, box)
+            return i + 1, ptot, best, cnt, bj
+
+        _, ptot, best, cnt, bj = lax.while_loop(
+            cond, body, (jnp.int32(0), ptot, best, cnt, bj))
+        return ptot, best, cnt, bj
+
+    ptot, best, cnt, _ = run_pass("A", None)
+    _, _, _, bj = run_pass("B", best)
+    return ptot, best, cnt, bj
+
+
 def sidm_scatter_tree(p: Particles, pos_pred, tree: Octree, time, active,
                       vmax, key, params: SidmParams, box=0.0,
                       cfg: RangeWalkConfig = None, salt: int = 0):
-    """Host-orchestrated tree-segment DSMC pass.
+    """Tree-segment DSMC pass (prep -> range walk -> two-pass scan ->
+    finish, each its own executable).
 
     ``tree`` must be built at ``pos_pred``. Returns (p', n_scattered[,events])
     like sidm_scatter."""
@@ -462,28 +497,9 @@ def sidm_scatter_tree(p: Particles, pos_pred, tree: Octree, time, active,
     gtype = gpad2(typs.astype(jnp.float32), -9.0).reshape(
         ng, G).astype(jnp.int32)
 
-    dtype = pos_pred.dtype
-    ptot = jnp.zeros((ng, G), dtype)
-    best = jnp.full((ng, G), -jnp.inf, dtype)
-    cnt = jnp.zeros((ng, G), jnp.int32)
-    bj = jnp.full((ng, G), -1, jnp.int32)
-
-    Rs = cfg.scan_chunk
-    total = seg_g.shape[0]
-    n_chunks = -(-total // Rs)
-    scnt_v = int(scnt)
-    used = -(-max(scnt_v, 1) // Rs)
-    for i in range(min(used, n_chunks)):
-        ptot, best, cnt, bj = sidm_seg_pass(
-            rows, seg_g, seg_s, seg_c, i * Rs, gt, gv, gh, gdt, gtype,
-            ptot, best, cnt, bj, time, sigma_co,
-            jnp.uint32(salt & 0xFFFFFFFF), params, Rs, "A", box)
-    for i in range(min(used, n_chunks)):
-        ptot_b, best_b, cnt_b, bj = sidm_seg_pass(
-            rows, seg_g, seg_s, seg_c, i * Rs, gt, gv, gh, gdt, gtype,
-            jnp.zeros_like(ptot), best, jnp.zeros_like(cnt), bj,
-            time, sigma_co, jnp.uint32(salt & 0xFFFFFFFF), params, Rs,
-            "B", box)
+    ptot, best, cnt, bj = _scan_all(
+        rows, seg_g, seg_s, seg_c, scnt, gt, gv, gh, gdt, gtype,
+        time, sigma_co, jnp.uint32(salt & 0xFFFFFFFF), params, cfg, box)
 
     inv = jnp.zeros(n, jnp.int32).at[tree.perm].set(
         jnp.arange(n, dtype=jnp.int32))
@@ -555,14 +571,10 @@ def tree_hsml_init(p: Particles, tree: Octree, k: int,
         best = jnp.full((ng, G), -jnp.inf, dtype)
         cnt = jnp.zeros((ng, G), jnp.int32)
         bj = jnp.full((ng, G), -1, jnp.int32)
-        used = -(-max(int(scnt), 1) // Rs)
-        total_chunks = -(-seg_g.shape[0] // Rs)
-        for i in range(min(used, total_chunks)):
-            ptot, best, cnt, bj = sidm_seg_pass(
-                rows, seg_g, seg_s, seg_c, i * Rs, gt, gv, gh, gdt, gtype,
-                ptot, best, cnt, bj, jnp.asarray(1.0, dtype),
-                jnp.asarray(0.0, dtype), jnp.uint32(it), _HSML_PARAMS,
-                Rs, "A", 0.0)
+        ptot, best, cnt, bj = _scan_all(
+            rows, seg_g, seg_s, seg_c, scnt, gt, gv, gh, gdt, gtype,
+            jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype),
+            jnp.uint32(it), _HSML_PARAMS, cfg, 0.0)[0:4]
         cnt_flat = cnt.reshape(npad)[:n][inv]
         ratio = (k / jnp.maximum(cnt_flat, 1).astype(dtype)) ** (1.0 / 3.0)
         h = jnp.where(col, h * jnp.clip(ratio, 0.5, 2.0), h)
