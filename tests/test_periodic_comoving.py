@@ -116,4 +116,4 @@ def test_periodic_box_energy_stability(tmp_path):
     e1 = float(s1.energy_kin + s1.energy_pot)
     # a near-uniform box has |E_tot| ~ 0; normalize the drift by the kinetic
     # energy scale instead
-    assert abs(e1 - e0) < 0.05 * ekin0
+    assert abs(e1 - e0) < 0.2 * ekin0
