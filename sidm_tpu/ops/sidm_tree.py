@@ -295,8 +295,21 @@ def _seg_pass_chunk(part_rows, seg_g, seg_s, seg_c, i0, gt, gv, gh, gdt,
 @partial(jax.jit, static_argnames=("params",))
 def _tree_sidm_prep(p: Particles, pos_pred, perm, time, active, vmax, key,
                     params: SidmParams):
-    """Sorted-space inputs for the scan: payload rows, group target arrays,
-    per-target gate quantities."""
+    """Sorted-space inputs for the scan, with the P_max pre-gate.
+
+    The reference's first-stage gate (P_max vs one uniform, sidm.c:338-346)
+    fails for the overwhelming majority of particles per step, so only gated
+    targets (plus a small random maintenance sample that keeps the hsml
+    controller fed) are given a nonzero search radius — the range walk and
+    scan then do ~gate-rate of the full work. The same uniform is reused in
+    the final scatter decision, so the statistics are exactly the two-stage
+    rejection of the reference.
+
+    Search radii are further capped at 8x the median smoothing length:
+    low-density outskirt particles can have h spanning the whole system, and
+    the kernel-weighted rate estimate is unbiased for ANY enumeration radius
+    (their scattering probability is ~0 either way).
+    """
     n = pos_pred.shape[0]
     dtype = pos_pred.dtype
     has_pending = jnp.any(p.dvel != 0.0, axis=-1)
@@ -312,22 +325,42 @@ def _tree_sidm_prep(p: Particles, pos_pred, perm, time, active, vmax, key,
     sigma_co = cross_section_co(time, params.cross_section_internal,
                                 params.cross_section_type, params.comoving)
 
-    elig = active & p.is_collisionless & p.valid & (dt_h0 > 0)
-    h_scat = jnp.where(elig, SCAT_KERNEL_FACTOR * p.hsml_vd, 0.0)
+    elig = active & p.is_collisionless & p.valid & (dt_h0 > 0) \
+        & (~has_pending)
+    h_med = jnp.median(jnp.where(p.is_collisionless & p.valid,
+                                 p.hsml_vd, jnp.nan))
+    h_cap = jnp.nan_to_num(8.0 * h_med, nan=jnp.inf)
+    h_eff = jnp.minimum(SCAT_KERNEL_FACTOR * p.hsml_vd,
+                        jnp.maximum(h_cap, 1e-30))
 
+    c_pmax = sidm_cmax(
+        time, vmax, params.cross_section_internal, params.cross_section_type,
+        params.yukawa_velocity, params.cross_section_vel_scale,
+        params.des_num_ngb, params.max_num_ngb_dev,
+        params.hubble, params.omega0, params.omega_lambda,
+        params.comoving, per_dt_h0=True)
+    u = particle_uniforms(key, p.pid, 4)
+    rand = u[:, 0].astype(dtype)
+    hinv3 = jnp.where(h_eff > 0, 1.0 / jnp.maximum(h_eff, 1e-30) ** 3, 0.0)
+    p_max = c_pmax * p.mass * hinv3 * dt_h0
+    maintenance = u[:, 3].astype(dtype) < params.maintenance_rate
+    scan = elig & ((rand < p_max) | maintenance)
+
+    h_scat = jnp.where(scan, h_eff, 0.0)
     hs = h_scat[perm]
     dts = dt_h0[perm]
-    typs = jnp.where(elig, p.ptype, -9)[perm]
-    return rows, hs, dts, typs, sigma_co
+    typs = jnp.where(scan, p.ptype, -9)[perm]
+    return rows, hs, dts, typs, sigma_co, scan, h_eff, p_max, rand
 
 
 @partial(jax.jit, static_argnames=("params", "log_events"))
 def _tree_sidm_finish(p: Particles, pos_pred, perm, inv, ptot_t, best_t,
-                      cnt_t, bj_t, time, active, vmax, key,
-                      params: SidmParams, log_events: bool):
-    """Gate + band check + conflict resolution + kicks + hsml controller.
+                      cnt_t, bj_t, time, active, scan, p_max, rand, vmax,
+                      key, params: SidmParams, log_events: bool):
+    """Scatter decision + conflict resolution + kicks + hsml controller.
 
-    Inputs are flat per-sorted-target arrays (length n)."""
+    ``scan``/``p_max``/``rand`` come from the pre-gate in _tree_sidm_prep
+    (same uniform for gate and crossing, as sidm.c:338-388)."""
     n = pos_pred.shape[0]
     dtype = pos_pred.dtype
 
@@ -343,17 +376,7 @@ def _tree_sidm_finish(p: Particles, pos_pred, perm, inv, ptot_t, best_t,
     s_inv = drift_factor(time, params.hubble, params.omega0,
                          params.omega_lambda, params.comoving)
     dt_h0 = jnp.where(p.valid, dt, 0.0) * s_inv
-    c_pmax = sidm_cmax(
-        time, vmax, params.cross_section_internal, params.cross_section_type,
-        params.yukawa_velocity, params.cross_section_vel_scale,
-        params.des_num_ngb, params.max_num_ngb_dev,
-        params.hubble, params.omega0, params.omega_lambda,
-        params.comoving, per_dt_h0=True)
-    u = particle_uniforms(key, p.pid, 3)
-    rand = u[:, 0].astype(dtype)
-    h_scat = SCAT_KERNEL_FACTOR * p.hsml_vd
-    hinv3 = jnp.where(h_scat > 0, 1.0 / jnp.maximum(h_scat, 1e-30) ** 3, 0.0)
-    p_max = c_pmax * p.mass * hinv3 * dt_h0
+    u = particle_uniforms(key, p.pid, 4)
     # NOTE on the reference's neighbour-count band check (sidm.c:512-519):
     # there it guards against an Hsml inconsistent with the tree search that
     # enumerated the neighbours. Here the range walk always enumerates ALL
@@ -361,7 +384,7 @@ def _tree_sidm_finish(p: Particles, pos_pred, perm, inv, ptot_t, best_t,
     # for any h and gating on the count would only bias rates downward while
     # the controller settles; the band is therefore diagnostic only.
     eligible = p.is_collisionless & p.valid & (~has_pending)
-    hit = (eligible & active & (rand < p_max) & (rand < ptot)
+    hit = (eligible & active & scan & (rand < p_max) & (rand < ptot)
            & (partner >= 0) & (~has_pending[jnp.clip(partner, 0, n - 1)]))
 
     # type-4 angular rejection (sidm.c:391-438)
@@ -401,8 +424,8 @@ def _tree_sidm_finish(p: Particles, pos_pred, perm, inv, ptot_t, best_t,
     n_scattered = jnp.sum(accepted.astype(jnp.int32))
 
     # hsml controller toward DesNumNgb (density.c:304-325 analog); only
-    # targets that were actually scanned this step (active) may update
-    upd = p.is_collisionless & p.valid & active & (dt_h0 > 0)
+    # targets that were actually scanned this step may update
+    upd = p.is_collisionless & p.valid & active & scan & (dt_h0 > 0)
     ratio = (params.des_num_ngb
              / jnp.maximum(cnt, 1).astype(dtype)) ** (1.0 / 3.0)
     h_new = p.hsml_vd * jnp.clip(ratio, 0.7, 1.3)
@@ -482,8 +505,9 @@ def sidm_scatter_tree(p: Particles, pos_pred, tree: Octree, time, active,
     n = pos_pred.shape[0]
     G = cfg.group_size
 
-    rows, hs, dts, typs, sigma_co = _tree_sidm_prep(
-        p, pos_pred, tree.perm, time, active, vmax, key, params)
+    rows, hs, dts, typs, sigma_co, scan, h_eff, p_max, rand = \
+        _tree_sidm_prep(p, pos_pred, tree.perm, time, active, vmax, key,
+                        params)
     gt, gh, glo, ghi, pad, ng, npad = _group_geometry(tree, hs, cfg)
 
     seg_g, seg_s, seg_c, scnt, ovf = range_walk(tree, glo, ghi, pad, cfg)
@@ -506,8 +530,8 @@ def sidm_scatter_tree(p: Particles, pos_pred, tree: Octree, time, active,
     flat = lambda x: x.reshape(npad)[:n]
     out = _tree_sidm_finish(
         p, pos_pred, tree.perm, inv, flat(ptot), flat(best),
-        flat(cnt), flat(bj), time, active, vmax, key, params,
-        params.log_events)
+        flat(cnt), flat(bj), time, active, scan, p_max, rand, vmax, key,
+        params, params.log_events)
     p2, n_scat, ev = out
     if params.log_events:
         return p2, n_scat, ev

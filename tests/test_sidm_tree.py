@@ -25,7 +25,9 @@ def _setup(n=4096, seed=0, sigma=1.0):
     p = make_particles(pos, vel, np.full(n, 1.0 / n), np.ones(n, np.int32),
                        pad_to_multiple=n)
     p = setup_smoothing_lengths(p, 30, 2)
-    params = SidmParams(sigma, 0, 1.0, 1.0, 0.0, 30, 2, False, 0.1, 0.0, 0.0)
+    # maintenance_rate=1: scan every target so counts are verifiable
+    params = SidmParams(sigma, 0, 1.0, 1.0, 0.0, 30, 2, False, 0.1, 0.0, 0.0,
+                        maintenance_rate=1.0)
     return p, params
 
 
