@@ -72,7 +72,7 @@ class SidmParams(NamedTuple):
     n_levels: int = 12
     log_events: bool = False     # SCATTERLOG (Makefile -DSCATTERLOG)
     event_cap: int = 4096        # max logged events per step
-    maintenance_rate: float = 0.05  # hsml-controller sampling for ungated
+    maintenance_rate: float = 0.03  # hsml-controller sampling for ungated
 
 
 def make_sidm_step(cfg, units, consts):

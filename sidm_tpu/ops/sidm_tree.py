@@ -44,7 +44,8 @@ from ..sidm_common import cross_section_co, sidm_cmax, sigma_v_product
 from ..state import Particles
 from .sidm import SidmParams, _perp_unit, _resolve_conflicts
 from .tree import Octree, build_octree
-from .treeforce import _append, _bbox_dist2, _pack3
+from .treeforce import (GROUP_SIZE, _append, _bbox_dist2, _pack3,
+                        gather_groups, make_groups)
 
 SEG_GATHER = 16  # particle slots per segment row (static)
 
@@ -59,8 +60,9 @@ class RangeWalkConfig(NamedTuple):
     start_level: int = 2
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def range_walk(tree: Octree, glo, ghi, pad, cfg: RangeWalkConfig):
+@partial(jax.jit, static_argnames=("cfg", "n_ref"))
+def range_walk(tree: Octree, glo, ghi, pad, cfg: RangeWalkConfig,
+               n_ref=None, n_groups=None):
     """Particle segments of every cell intersecting each group's bbox
     expanded by ``pad`` (per-group search radius). Segments arrive
     group-sorted within each level run; the caller sorts globally.
@@ -70,8 +72,11 @@ def range_walk(tree: Octree, glo, ghi, pad, cfg: RangeWalkConfig):
     depth = tree.depth
     l0 = cfg.start_level
     cap0 = min(8 ** l0, tree.pos_s.shape[0])
-    F = max(1 << 14, cfg.frontier_factor * ngroups * cfg.group_size)
-    S_cap = cfg.seg_factor * ngroups * cfg.group_size
+    if n_ref is None:
+        n_ref = ngroups * cfg.group_size
+    F = max(1 << 14, int(cfg.frontier_factor * n_ref), ngroups * cap0)
+    F = -(-F // 8) * 8
+    S_cap = int(cfg.seg_factor * n_ref)
 
     fg = jnp.repeat(jnp.arange(ngroups, dtype=jnp.int32), cap0,
                     total_repeat_length=ngroups * cap0)
@@ -85,6 +90,8 @@ def range_walk(tree: Octree, glo, ghi, pad, cfg: RangeWalkConfig):
     slot = jnp.tile(jnp.arange(cap0, dtype=jnp.int32), ngroups)
     slot = jnp.concatenate([slot, jnp.full(padn, 1 << 30, jnp.int32)])
     alive = slot < tree.n_nodes[l0]
+    if n_groups is not None:
+        alive = alive & (fg < n_groups)
 
     seg_g = jnp.zeros(S_cap + F, jnp.int32)
     seg_s = jnp.zeros(S_cap + F, jnp.int32)
@@ -208,7 +215,7 @@ def _pair_gumbel(i_idx, j_idx, salt):
 
 
 def _seg_pass_chunk(part_rows, seg_g, seg_s, seg_c, i0, gt, gv, gh, gdt,
-                    gtype, ptot, best, cnt, bj, time, sigma_co, salt,
+                    gtype, gidx, ptot, best, cnt, bj, time, sigma_co, salt,
                     params: SidmParams, Rs: int, mode: str, box=0.0):
     """One host chunk of segment rows.
 
@@ -232,8 +239,7 @@ def _seg_pass_chunk(part_rows, seg_g, seg_s, seg_c, i0, gt, gv, gh, gdt,
     tv = gv[fgc]
     tdt = gdt[fgc]
     ttyp = gtype[fgc]
-    col = jnp.arange(G, dtype=jnp.int32)
-    i_idx = fgc[:, None] * G + col[None, :]
+    i_idx = gidx[fgc]                 # (Rs,G) sorted index per target slot
 
     def one_slot(c, carry):
         ptot, best_c, cnt_c, bj_c = carry
@@ -327,8 +333,8 @@ def _tree_sidm_prep(p: Particles, pos_pred, perm, time, active, vmax, key,
 
     elig = active & p.is_collisionless & p.valid & (dt_h0 > 0) \
         & (~has_pending)
-    h_med = jnp.median(jnp.where(p.is_collisionless & p.valid,
-                                 p.hsml_vd, jnp.nan))
+    h_med = jnp.nanmedian(jnp.where(p.is_collisionless & p.valid,
+                                    p.hsml_vd, jnp.nan))
     h_cap = jnp.nan_to_num(8.0 * h_med, nan=jnp.inf)
     h_eff = jnp.minimum(SCAT_KERNEL_FACTOR * p.hsml_vd,
                         jnp.maximum(h_cap, 1e-30))
@@ -443,24 +449,27 @@ def _tree_sidm_finish(p: Particles, pos_pred, perm, inv, ptot_t, best_t,
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _group_geometry(tree: Octree, hs, cfg: RangeWalkConfig):
-    n = tree.pos_s.shape[0]
+    """Group targets by maximal tree cells (spatially compact; see
+    treeforce.make_groups). Returns group arrays plus the per-slot sorted
+    index/validity for scatter-back."""
     G = cfg.group_size
-    ng = -(-n // G)
-    npad = ng * G
-    sp = jnp.concatenate([tree.pos_s, jnp.zeros((npad - n, 3),
-                                                tree.pos_s.dtype)])
-    hsp = jnp.concatenate([hs, jnp.zeros(npad - n, hs.dtype)])
-    gt = sp.reshape(ng, G, 3)
-    gh = hsp.reshape(ng, G)
-    glo = jnp.min(gt, axis=1)
-    ghi = jnp.max(gt, axis=1)
-    pad = jnp.max(gh, axis=1)
-    return gt, gh, glo, ghi, pad, ng, npad
+    grp_start, grp_cnt, n_groups, _ = make_groups(tree, G=G)
+    idxg, gvalid, (gt, gh) = gather_groups(
+        tree, grp_start, grp_cnt, n_groups, tree.pos_s, hs,
+        fills=[0.0, 0.0])
+    big = jnp.asarray(1e30, tree.pos_s.dtype)
+    glo = jnp.min(jnp.where(gvalid[..., None], gt, big), axis=1)
+    ghi = jnp.max(jnp.where(gvalid[..., None], gt, -big), axis=1)
+    any_v = jnp.any(gvalid, axis=1)
+    glo = jnp.where(any_v[:, None], glo, 0.0)
+    ghi = jnp.where(any_v[:, None], ghi, 0.0)
+    pad = jnp.max(jnp.where(gvalid, gh, 0.0), axis=1)
+    return gt, gh, glo, ghi, pad, idxg, gvalid, n_groups
 
 
 @partial(jax.jit, static_argnames=("params", "cfg", "box"))
 def _scan_all(rows, seg_g, seg_s, seg_c, scnt, gt, gv, gh, gdt, gtype,
-              time, sigma_co, salt, params: SidmParams,
+              gidx, time, sigma_co, salt, params: SidmParams,
               cfg: RangeWalkConfig, box=0.0):
     """Both scan passes as device-side while_loops over segment chunks."""
     ng, G = gh.shape
@@ -480,8 +489,8 @@ def _scan_all(rows, seg_g, seg_s, seg_c, scnt, gt, gv, gh, gdt, gtype,
             i, ptot, best, cnt, bj = st
             ptot, best, cnt, bj = _seg_pass_chunk(
                 rows, seg_g, seg_s, seg_c, i * Rs, gt, gv, gh, gdt, gtype,
-                ptot, best, cnt, bj, time, sigma_co, salt, params, Rs,
-                mode, box)
+                gidx, ptot, best, cnt, bj, time, sigma_co, salt, params,
+                Rs, mode, box)
             return i + 1, ptot, best, cnt, bj
 
         _, ptot, best, cnt, bj = lax.while_loop(
@@ -508,34 +517,45 @@ def sidm_scatter_tree(p: Particles, pos_pred, tree: Octree, time, active,
     rows, hs, dts, typs, sigma_co, scan, h_eff, p_max, rand = \
         _tree_sidm_prep(p, pos_pred, tree.perm, time, active, vmax, key,
                         params)
-    gt, gh, glo, ghi, pad, ng, npad = _group_geometry(tree, hs, cfg)
+    gt, gh, glo, ghi, pad, idxg, gvalid, n_groups = _group_geometry(
+        tree, hs, cfg)
 
-    seg_g, seg_s, seg_c, scnt, ovf = range_walk(tree, glo, ghi, pad, cfg)
+    seg_g, seg_s, seg_c, scnt, ovf = range_walk(
+        tree, glo, ghi, pad, cfg, n_ref=n, n_groups=n_groups)
 
-    def gpad2(x, fill=0.0):
-        return jnp.concatenate(
-            [x, jnp.full((npad - n,) + x.shape[1:], fill, x.dtype)])
-
-    gv = gpad2(rows[:, 3:6]).reshape(ng, G, 3)
-    gdt = gpad2(dts).reshape(ng, G)
-    gtype = gpad2(typs.astype(jnp.float32), -9.0).reshape(
-        ng, G).astype(jnp.int32)
+    gv, gdt4, gty = _gather_group_fields(rows, dts, typs, idxg, gvalid)
+    gidx = jnp.where(gvalid, idxg, -1)
 
     ptot, best, cnt, bj = _scan_all(
-        rows, seg_g, seg_s, seg_c, scnt, gt, gv, gh, gdt, gtype,
+        rows, seg_g, seg_s, seg_c, scnt, gt, gv, gh, gdt4, gty, gidx,
         time, sigma_co, jnp.uint32(salt & 0xFFFFFFFF), params, cfg, box)
 
     inv = jnp.zeros(n, jnp.int32).at[tree.perm].set(
         jnp.arange(n, dtype=jnp.int32))
-    flat = lambda x: x.reshape(npad)[:n]
+
+    def unflat(x, fill):
+        flat_idx = jnp.where(gvalid, idxg, n).reshape(-1)
+        buf = jnp.full((n + 1,), fill, x.dtype)
+        return buf.at[flat_idx].set(x.reshape(-1))[:n]
+
     out = _tree_sidm_finish(
-        p, pos_pred, tree.perm, inv, flat(ptot), flat(best),
-        flat(cnt), flat(bj), time, active, scan, p_max, rand, vmax, key,
-        params, params.log_events)
+        p, pos_pred, tree.perm, inv, unflat(ptot, 0.0),
+        unflat(best, -jnp.inf), unflat(cnt, 0), unflat(bj, -1),
+        time, active, scan, p_max, rand, vmax, key, params,
+        params.log_events)
     p2, n_scat, ev = out
     if params.log_events:
         return p2, n_scat, ev
     return p2, n_scat
+
+
+@jax.jit
+def _gather_group_fields(rows, dts, typs, idxg, gvalid):
+    idxc = jnp.clip(idxg, 0, rows.shape[0] - 1)
+    gv = jnp.where(gvalid[..., None], rows[idxc][..., 3:6], 0.0)
+    gdt = jnp.where(gvalid, dts[idxc], 0.0)
+    gty = jnp.where(gvalid, typs[idxc], -9).astype(jnp.int32)
+    return gv, gdt, gty
 
 
 def tree_hsml_init(p: Particles, tree: Octree, k: int,
@@ -545,12 +565,10 @@ def tree_hsml_init(p: Particles, tree: Octree, k: int,
 
     Seed: local spacing from the Morton-sorted neighbour k/2 positions away
     (order-of-magnitude correct), then the multiplicative neighbour-count
-    controller for ``iters`` passes. Exact band membership follows within a
-    few regular steps; the count band check gates scattering meanwhile."""
+    controller for ``iters`` passes."""
     cfg = cfg or RangeWalkConfig()
     n = tree.pos_s.shape[0]
     dtype = tree.pos_s.dtype
-    G = cfg.group_size
 
     # Morton-window spacing seed (sorted order)
     w = max(k // 2, 4)
@@ -560,55 +578,44 @@ def tree_hsml_init(p: Particles, tree: Octree, k: int,
     inv = jnp.zeros(n, jnp.int32).at[tree.perm].set(
         jnp.arange(n, dtype=jnp.int32))
     h = h_sorted[inv]
-    h = jnp.where(p.is_collisionless & p.valid, h, 0.0)
-
     col = p.is_collisionless & p.valid
+    h = jnp.where(col, h, 0.0)
+
     typs = jnp.where(col, p.ptype, -9)[tree.perm]
+    aux = jnp.clip(p.ptype, 0, 7).astype(dtype)[tree.perm]
     rows = jnp.concatenate([
         tree.pos_s,
         jnp.zeros((n, 3), dtype),
         jnp.ones((n, 1), dtype),
-        jnp.clip(typs, 0, 7).astype(dtype)[:, None]], axis=1)
+        aux[:, None]], axis=1)
+    dts_sorted = jnp.ones(n, dtype)
 
-    ng = -(-n // G)
-    npad = ng * G
-
-    def gpadf(x, fill=0.0):
-        return jnp.concatenate(
-            [x, jnp.full((npad - n,) + x.shape[1:], fill, x.dtype)])
-
-    gt = gpadf(tree.pos_s).reshape(ng, G, 3)
-    gv = jnp.zeros((ng, G, 3), dtype)
-    gdt = jnp.ones((ng, G), dtype)
-    gtype = gpadf(typs.astype(jnp.float32), -9.0).reshape(
-        ng, G).astype(jnp.int32)
-    glo = jnp.min(gt, axis=1)
-    ghi = jnp.max(gt, axis=1)
-
-    Rs = cfg.scan_chunk
-    for it in range(iters):
+    for it in range(iters + 1):  # last pass counts at the final h, no update
         hs = h[tree.perm]
-        gh = gpadf(hs).reshape(ng, G)
-        pad = jnp.max(gh, axis=1)
-        seg_g, seg_s, seg_c, scnt, _ = range_walk(tree, glo, ghi, pad, cfg)
-        ptot = jnp.zeros((ng, G), dtype)
-        best = jnp.full((ng, G), -jnp.inf, dtype)
-        cnt = jnp.zeros((ng, G), jnp.int32)
-        bj = jnp.full((ng, G), -1, jnp.int32)
+        gt, gh, glo, ghi, pad, idxg, gvalid, n_groups = _group_geometry(
+            tree, hs, cfg)
+        seg_g, seg_s, seg_c, scnt, _ = range_walk(
+            tree, glo, ghi, pad, cfg, n_ref=n, n_groups=n_groups)
+        gv, gdt, gty = _gather_group_fields(rows, dts_sorted, typs, idxg,
+                                            gvalid)
+        gidx = jnp.where(gvalid, idxg, -1)
         ptot, best, cnt, bj = _scan_all(
-            rows, seg_g, seg_s, seg_c, scnt, gt, gv, gh, gdt, gtype,
+            rows, seg_g, seg_s, seg_c, scnt, gt, gv, gh, gdt, gty, gidx,
             jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype),
-            jnp.uint32(it), _HSML_PARAMS, cfg, 0.0)[0:4]
-        cnt_flat = cnt.reshape(npad)[:n][inv]
-        ratio = (k / jnp.maximum(cnt_flat, 1).astype(dtype)) ** (1.0 / 3.0)
-        h = jnp.where(col, h * jnp.clip(ratio, 0.5, 2.0), h)
+            jnp.uint32(it), _HSML_PARAMS, cfg, 0.0)
+        flat_idx = jnp.where(gvalid, idxg, n).reshape(-1)
+        cnt_sorted = jnp.zeros(n + 1, jnp.int32).at[flat_idx].set(
+            cnt.reshape(-1))[:n]
+        cnt_flat = cnt_sorted[inv]
+        if it < iters:
+            ratio = (k / jnp.maximum(cnt_flat, 1).astype(dtype)) \
+                ** (1.0 / 3.0)
+            h = jnp.where(col, h * jnp.clip(ratio, 0.5, 2.0), h)
 
-    import numpy as _np
-    cnt_final = cnt.reshape(npad)[:n][inv]
     return dataclasses.replace(
         p,
         hsml_vd=jnp.where(col, h, p.hsml_vd),
-        ngb_vd=jnp.where(col, cnt_final, p.ngb_vd).astype(jnp.int32))
+        ngb_vd=jnp.where(col, cnt_flat, p.ngb_vd).astype(jnp.int32))
 
 
 # dummy params for count-only passes (hard sphere, sigma 0 -> prob 0)

@@ -54,7 +54,7 @@ class WalkConfig(NamedTuple):
     big_cell_cap: int = 8192     # distinct overfull deepest-level cells
     final_chunks: int = 64       # chunks each overfull deepest cell may span
     node_chunk: int = 65536      # pair rows per eval step
-    seg_chunk: int = 8192        # segment rows per eval step
+    seg_chunk: int = 4096        # segment rows per eval step
     start_level: int = 2
 
 
@@ -98,8 +98,12 @@ def _append(buf_list, cnt, arrs, count_new, cap):
 
 
 def global_walk(tree: Octree, group_lo, group_hi, group_oac, cfg: WalkConfig,
-                theta, use_relative, box):
+                theta, use_relative, box, n_ref=None, n_groups=None):
     """Traverse for all groups at once.
+
+    ``n_ref`` sets the interaction-buffer scale (defaults to
+    ngroups*group_size; pass the true particle count when the group axis is
+    a padded static cap). ``n_groups`` masks dead group slots.
 
     Returns flat (group, node) pair buffers for multipole interactions and
     flat (group, start, count) segment buffers for near-field particle
@@ -108,9 +112,17 @@ def global_walk(tree: Octree, group_lo, group_hi, group_oac, cfg: WalkConfig,
     depth = tree.depth
     l0 = cfg.start_level
     cap0 = min(8 ** l0, tree.pos_s.shape[0])
-    F = max(1 << 14, cfg.frontier_factor * ngroups * cfg.group_size)
-    P_cap = cfg.pair_factor * ngroups * cfg.group_size
-    S_cap = cfg.seg_factor * ngroups * cfg.group_size
+    if n_ref is None:
+        n_ref = ngroups * cfg.group_size
+    # interaction counts grow ~theta^-3; scale the static buffers so tight
+    # opening angles don't overflow them
+    tscale = max(1.0, (0.5 / max(theta, 1e-3)) ** 3) if not use_relative \
+        else 1.0
+    F = max(1 << 14, int(cfg.frontier_factor * n_ref * tscale),
+            ngroups * cap0)
+    F = -(-F // 8) * 8
+    P_cap = int(cfg.pair_factor * n_ref * tscale)
+    S_cap = int(cfg.seg_factor * n_ref * tscale)
     dtype = tree.pos_s.dtype
 
     # initial frontier: every group x every real node at the start level
@@ -124,10 +136,13 @@ def global_walk(tree: Octree, group_lo, group_hi, group_oac, cfg: WalkConfig,
     fg = jnp.concatenate([fg, jnp.zeros(pad, jnp.int32)])
     fn = jnp.concatenate([fn, jnp.zeros(pad, jnp.int32)])
     fcnt = jnp.int32(ngroups * cap0)
-    # mask out start-level nodes beyond the real count per group
+    # mask out start-level nodes beyond the real count per group, and any
+    # dead group slots beyond n_groups
     slot = jnp.tile(jnp.arange(cap0, dtype=jnp.int32), ngroups)
     slot = jnp.concatenate([slot, jnp.full(pad, 1 << 30, jnp.int32)])
     alive0 = slot < tree.n_nodes[l0]
+    if n_groups is not None:
+        alive0 = alive0 & (fg < n_groups)
 
     pair_g = jnp.zeros(P_cap + F, jnp.int32)
     pair_n = jnp.zeros(P_cap + F, jnp.int32)
@@ -384,38 +399,33 @@ def eval_flat(tree: Octree, gtargets, geps, walk_out, cfg: WalkConfig,
         pidx = jnp.clip(st[:, None] + slot[None, :], 0,
                         tree.pos_s.shape[0] - 1)       # (Rs,C) contiguous
         prow = tree.part_rows[pidx]                    # (Rs,C,8)
-        pm_all = jnp.where(live[:, None] & (slot[None, :] < ct[:, None]),
-                           prow[..., 3], 0.0)
-        tg = gtargets[fgc]                             # (Rs,G,3)
-        te = geps[fgc]
-
-        # accumulate slot-by-slot so only (Rs,G,3) intermediates exist —
-        # XLA would otherwise materialize the (Rs,C,G,3) tensor in HBM
-        def one_slot(c, ap):
-            a, p = ap
-            pp = lax.dynamic_slice_in_dim(prow, c, 1, axis=1)[:, 0, 0:3]
-            pe = lax.dynamic_slice_in_dim(prow, c, 1, axis=1)[:, 0, 4]
-            pm = lax.dynamic_slice_in_dim(pm_all, c, 1, axis=1)[:, 0]
-            d = pp[:, None, :] - tg                    # (Rs,G,3)
-            d = _min_image(d, box)
-            r = jnp.sqrt(jnp.sum(d * d, axis=-1))
-            h = 2.8 * jnp.maximum(te, pe[:, None])
-            fac = softened_inv_r3(r, h) * pm[:, None]
-            a = a + fac[..., None] * d
-            p = p + softened_potential(r, h) * pm[:, None]
-            if ewald is not None:
-                a = a + pm[:, None, None] * ewald.force_correction(d)
-                p = p + pm[:, None] * ewald.pot_correction(d)
-            return a, p
-
-        a0 = jnp.zeros((Rs, G, 3), gtargets.dtype)
-        p0 = jnp.zeros((Rs, G), gtargets.dtype)
-        a, p = lax.fori_loop(0, C, one_slot, (a0, p0))
+        pm = jnp.where(live[:, None] & (slot[None, :] < ct[:, None]),
+                       prow[..., 3], 0.0).reshape(-1)  # (Rs*C,)
+        # flatten segment slots into particle-pair rows: one dense pass with
+        # one group-sorted reduction (a fori over slots pays per-slot launch
+        # and reduction overheads C times)
+        RC = Rs * C
+        pp = prow[..., 0:3].reshape(RC, 3)
+        pe = prow[..., 4].reshape(RC)
+        fgx = jnp.repeat(fg, C, total_repeat_length=RC)
+        fgcx = jnp.repeat(fgc, C, total_repeat_length=RC)
+        tg = gtargets[fgcx]                            # (RC,G,3)
+        te = geps[fgcx]
+        d = pp[:, None, :] - tg
+        d = _min_image(d, box)
+        r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+        h = 2.8 * jnp.maximum(te, pe[:, None])
+        fac = softened_inv_r3(r, h) * pm[:, None]
+        a = fac[..., None] * d
+        p = softened_potential(r, h) * pm[:, None]
+        if ewald is not None:
+            a = a + pm[:, None, None] * ewald.force_correction(d)
+            p = p + pm[:, None] * ewald.pot_correction(d)
         acc = acc + jax.ops.segment_sum(
-            a, fg, num_segments=ngroups + 1,
+            a, fgx, num_segments=ngroups + 1,
             indices_are_sorted=True)[:ngroups]
         pot = pot + jax.ops.segment_sum(
-            p, fg, num_segments=ngroups + 1,
+            p, fgx, num_segments=ngroups + 1,
             indices_are_sorted=True)[:ngroups]
         return (acc, pot), None
 
@@ -432,41 +442,69 @@ def eval_flat(tree: Octree, gtargets, geps, walk_out, cfg: WalkConfig,
     return acc, pot
 
 
+def gather_groups(tree: Octree, grp_start, grp_cnt, n_groups, *arrays,
+                  fills=None):
+    """Gather per-target arrays into (Gcap, G, ...) group layout.
+
+    Returns (slots_index (Gcap,G), slot_valid (Gcap,G), gathered arrays)."""
+    Gcap = grp_start.shape[0]
+    slot = jnp.arange(GROUP_SIZE, dtype=jnp.int32)
+    gvalid = (slot[None, :] < grp_cnt[:, None]) \
+        & (jnp.arange(Gcap)[:, None] < n_groups)
+    idx = jnp.clip(grp_start[:, None] + slot[None, :], 0,
+                   tree.pos_s.shape[0] - 1)
+    outs = []
+    fills = fills or [0.0] * len(arrays)
+    for a, f in zip(arrays, fills):
+        g = a[idx]
+        g = jnp.where(gvalid.reshape(gvalid.shape + (1,) * (g.ndim - 2)),
+                      g, f)
+        outs.append(g)
+    return idx, gvalid, outs
+
+
+GROUP_SIZE = 64
+
+
 def eval_targets(tree: Octree, tpos, teps, toac, tvalid, *, box=None,
                  theta=0.5, use_relative=True,
                  config: Optional[WalkConfig] = None, ewald=None,
                  presorted: bool = False):
     """Force/potential for an arbitrary target set against ``tree``.
 
-    Targets are Morton-sorted internally for group locality (skipped when
-    ``presorted``); results return in input order. This is the unit a device
-    shard evaluates in the multi-chip path."""
+    ``presorted`` targets (== tree.pos_s) use maximal tree cells as traversal
+    groups (spatially compact; see make_groups). Arbitrary target sets are
+    Morton-sorted into fixed windows — adequate for shards whose targets are
+    already a compact spatial domain. Results return in input order."""
     cfg = config or WalkConfig()
     nt = tpos.shape[0]
     G = cfg.group_size
 
     if presorted:
-        order = None
-        spos, seps, soac, svalid = tpos, teps, toac, tvalid
+        grp_start, grp_cnt, n_groups, g_ovf = make_groups(tree, G=G)
+        idxg, gvalid, (gtargets, geps, goac) = gather_groups(
+            tree, grp_start, grp_cnt, n_groups, tpos, teps, toac,
+            fills=[0.0, 1.0, 0.0])
+        gvalid = gvalid & tvalid[idxg]
     else:
         keys = morton_keys(tpos, tree.origin, tree.extent, tree.depth)
         keys = jnp.where(tvalid, keys, jnp.uint32(0xFFFFFFFF))
         order = jnp.argsort(keys)
         spos, seps = tpos[order], teps[order]
         soac, svalid = toac[order], tvalid[order]
+        ng = -(-nt // G)
+        npad = ng * G
 
-    ng = -(-nt // G)
-    npad = ng * G
+        def padn(x, fill=0.0):
+            return jnp.concatenate(
+                [x, jnp.full((npad - nt,) + x.shape[1:], fill, x.dtype)])
 
-    def padn(x, fill=0.0):
-        return jnp.concatenate(
-            [x, jnp.full((npad - nt,) + x.shape[1:], fill, x.dtype)])
-
-    gtargets = padn(spos).reshape(ng, G, 3)
-    geps = padn(seps, 1.0).reshape(ng, G)
-    goac = padn(soac).reshape(ng, G)
-    gvalid = jnp.concatenate([svalid, jnp.zeros(npad - nt, bool)]
-                             ).reshape(ng, G)
+        gtargets = padn(spos).reshape(ng, G, 3)
+        geps = padn(seps, 1.0).reshape(ng, G)
+        goac = padn(soac).reshape(ng, G)
+        gvalid = jnp.concatenate([svalid, jnp.zeros(npad - nt, bool)]
+                                 ).reshape(ng, G)
+        n_groups = jnp.int32(ng)
 
     big = jnp.asarray(1e30, tpos.dtype)
     glo = jnp.min(jnp.where(gvalid[..., None], gtargets, big), axis=1)
@@ -478,13 +516,21 @@ def eval_targets(tree: Octree, tpos, teps, toac, tvalid, *, box=None,
     oac_min = jnp.where(jnp.any(gvalid & (goac > 0), axis=1), oac_min, 0.0)
 
     walk_out = global_walk(tree, glo, ghi, oac_min, cfg, theta,
-                           use_relative and True, box)
-    acc, pot = eval_flat(tree, gtargets, geps, walk_out, cfg, box,
-                         ewald=ewald)
+                           use_relative and True, box, n_ref=nt,
+                           n_groups=n_groups)
+    acc_g, pot_g = eval_flat(tree, gtargets, geps, walk_out, cfg, box,
+                             ewald=ewald)
 
-    acc = acc.reshape(npad, 3)[:nt]
-    pot = pot.reshape(npad)[:nt]
-    if order is not None:
+    if presorted:
+        # scatter group-layout results back to the sorted-target axis
+        flat_idx = jnp.where(gvalid, idxg, nt).reshape(-1)
+        acc = jnp.zeros((nt + 1, 3), tpos.dtype).at[flat_idx].set(
+            acc_g.reshape(-1, 3))[:nt]
+        pot = jnp.zeros(nt + 1, tpos.dtype).at[flat_idx].set(
+            pot_g.reshape(-1))[:nt]
+    else:
+        acc = acc_g.reshape(npad, 3)[:nt]
+        pot = pot_g.reshape(npad)[:nt]
         inv = jnp.zeros(nt, jnp.int32).at[order].set(
             jnp.arange(nt, dtype=jnp.int32))
         acc, pot = acc[inv], pot[inv]
@@ -522,3 +568,89 @@ def tree_gravity(pos, mass, eps, old_acc, *, box=None, theta=0.5,
     if return_info:
         return acc, pot, info
     return acc, pot
+
+
+@jax.jit
+def make_groups(tree: Octree, G: int = 64):
+    """Target groups = maximal tree cells with <= G particles.
+
+    Fixed-size Morton windows make terrible groups in sparse regions (64
+    consecutive Morton indices can span octants, giving bounding boxes as
+    large as the system and interaction lists to match). Tree cells are
+    spatially compact; descending only into cells with more than G particles
+    makes every emitted cell maximal, and the emitted set partitions the
+    Morton-sorted particle range. Overfull deepest-level cells are split
+    into consecutive G-sized chunks.
+
+    Returns (grp_start (Gcap,), grp_cnt (Gcap,), n_groups, overflow).
+    """
+    n = tree.pos_s.shape[0]
+    Gcap = max(n // 8, 2048)
+    depth = tree.depth
+    offs = list(tree.level_offsets)
+    F = max(Gcap, 4096)
+
+    frontier = jnp.zeros(F, jnp.int32)
+    frontier = frontier.at[0].set(offs[0])
+    alive = jnp.zeros(F, bool).at[0].set(True)
+
+    gs = jnp.zeros(Gcap + F, jnp.int32)
+    gc = jnp.zeros(Gcap + F, jnp.int32)
+    gcnt = jnp.int32(0)
+    overflow = jnp.int32(0)
+
+    K_FINAL = 64  # chunks for an overfull deepest cell (<= 4096 particles)
+    for l in range(depth + 1):
+        cnt = tree.node_count[frontier]
+        start = tree.node_start[frontier]
+        live = alive & (cnt > 0)
+        emit = live & (cnt <= G)
+        desc = live & (cnt > G) & (l < depth)
+        big = live & (cnt > G) & (l == depth)
+
+        perm, n_desc, n_de, n_deb = _pack3(
+            jnp.where(desc, 0, jnp.where(emit, 1, jnp.where(big, 2, 3))), F)
+        fr_p = frontier[perm]
+        st_p = start[perm]
+        ct_p = cnt[perm]
+        zpad = jnp.zeros(F, jnp.int32)
+        st_pp = jnp.concatenate([st_p, zpad])
+        ct_pp = jnp.concatenate([ct_p, zpad])
+
+        es = lax.dynamic_slice_in_dim(st_pp, n_desc, F)
+        ec = lax.dynamic_slice_in_dim(ct_pp, n_desc, F)
+        (gs, gc), gcnt, ov = _append([gs, gc], gcnt, [es, ec],
+                                     n_de - n_desc, Gcap)
+        overflow += ov
+
+        if l == depth:
+            # overfull deepest cells -> consecutive G-chunks
+            bs = lax.dynamic_slice_in_dim(st_pp, n_de, F)
+            bc = lax.dynamic_slice_in_dim(ct_pp, n_de, F)
+            nbig = n_deb - n_de
+            BK = min(F, 1 << 14)
+            kk = jnp.arange(K_FINAL, dtype=jnp.int32)
+            ch_s = (bs[:BK, None] + kk[None, :] * G).reshape(-1)
+            ch_c = jnp.clip(bc[:BK, None] - kk[None, :] * G, 0, G).reshape(-1)
+            ok = ((jnp.arange(BK)[:, None] < nbig).repeat(K_FINAL, 1)
+                  .reshape(-1)) & (ch_c > 0)
+            perm2, n0, _, _ = _pack3(jnp.where(ok, 0, 3), BK * K_FINAL)
+            take = min(F, BK * K_FINAL)
+            (gs, gc), gcnt, ov = _append(
+                [gs, gc], gcnt,
+                [ch_s[perm2][:take], ch_c[perm2][:take]],
+                jnp.minimum(n0, take), Gcap)
+            overflow += ov + jnp.maximum(n0 - take, 0)
+            break
+
+        O = F // 8
+        on = fr_p[:O]
+        ok_open = jnp.arange(O) < n_desc
+        overflow += jnp.maximum(n_desc - O, 0)
+        cs = tree.child_start[on]
+        cc = tree.child_count[on]
+        k = jnp.arange(8, dtype=jnp.int32)
+        frontier = (cs[:, None] + k[None, :]).reshape(-1)
+        alive = ((k[None, :] < cc[:, None]) & ok_open[:, None]).reshape(-1)
+
+    return gs[:Gcap], gc[:Gcap], jnp.minimum(gcnt, Gcap), overflow

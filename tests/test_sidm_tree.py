@@ -93,6 +93,30 @@ def test_conservation_and_pairing():
     assert kicked.sum() == 2 * int(ns)
 
 
+def test_tree_hsml_init_counts_exact():
+    """tree_hsml_init (large-N path of setup_smoothinglengths_sidm) must
+    return neighbour counts consistent with its returned h, in-band."""
+    from sidm_tpu.ops.tree import build_octree
+    from sidm_tpu.ops.sidm_tree import tree_hsml_init
+    from sidm_tpu.state import make_particles
+
+    n = 2048
+    rng = np.random.default_rng(7)
+    pos = rng.uniform(0, 1, (n, 3))
+    vel = rng.normal(0, 1, (n, 3))
+    p = make_particles(pos, vel, np.full(n, 1.0 / n), np.ones(n, np.int32),
+                       n_padded=2304)  # include padding rows
+    eps = jnp.full(p.pos.shape[0], 0.01, jnp.float32)
+    tree = build_octree(p.pos, jnp.where(p.valid, p.mass, 0.0), eps, p.valid)
+    out = tree_hsml_init(p, tree, 30, iters=8)
+    cnt = np.asarray(out.ngb_vd)[:n]
+    h = np.asarray(out.hsml_vd)
+    assert ((cnt >= 20) & (cnt <= 45)).mean() > 0.9
+    for i in range(0, n, 73):
+        d = np.linalg.norm(pos - pos[i], axis=1)
+        assert cnt[i] == int(((d < h[i]) & (d > 0)).sum()), i
+
+
 def test_hsml_controller_converges():
     """Starting from a poor h guess, the multiplicative controller must pull
     neighbour counts into the band within a few passes."""

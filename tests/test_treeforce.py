@@ -90,8 +90,11 @@ def test_relative_criterion_accuracy():
                            err_tol_force_acc=0.005)
     acc_d, _ = direct_gravity(pos, mass, eps)
     err = _err(acc1, acc_d)
+    # tree-cell groups make the group-min |a_old| nearly per-target, so the
+    # error tracks the criterion's own tolerance (ErrTolForceAcc=0.005)
+    # instead of the extra conservatism of wide fixed groups
     assert np.percentile(err, 99) < 2e-3
-    assert err.mean() < 3e-4
+    assert err.mean() < 5e-4
 
 
 def test_theta_controls_error():
