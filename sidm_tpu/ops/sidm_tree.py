@@ -60,12 +60,13 @@ class RangeWalkConfig(NamedTuple):
     start_level: int = 2
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_ref"))
+@partial(jax.jit, static_argnames=("cfg", "n_ref", "box"))
 def range_walk(tree: Octree, glo, ghi, pad, cfg: RangeWalkConfig,
-               n_ref=None, n_groups=None):
+               n_ref=None, n_groups=None, box=0.0):
     """Particle segments of every cell intersecting each group's bbox
-    expanded by ``pad`` (per-group search radius). Segments arrive
-    group-sorted within each level run; the caller sorts globally.
+    expanded by ``pad`` (per-group search radius), under minimum-image
+    wrap when ``box`` > 0. Segments arrive group-sorted within each level
+    run; the caller sorts globally.
 
     Returns (seg_g, seg_s, seg_c, scnt, overflow)."""
     ngroups = glo.shape[0]
@@ -102,7 +103,7 @@ def range_walk(tree: Octree, glo, ghi, pad, cfg: RangeWalkConfig,
     big_c = jnp.zeros(cfg.big_cell_cap + F, jnp.int32)
     bcnt = jnp.int32(0)
     overflow = jnp.int32(0)
-    box = None  # periodic: callers wrap via minimum image inside the scan
+    box = box if box else None  # minimum-image cell test when periodic
 
     C = SEG_GATHER
     for l in range(l0, depth + 1):
@@ -521,7 +522,7 @@ def sidm_scatter_tree(p: Particles, pos_pred, tree: Octree, time, active,
         tree, hs, cfg)
 
     seg_g, seg_s, seg_c, scnt, ovf = range_walk(
-        tree, glo, ghi, pad, cfg, n_ref=n, n_groups=n_groups)
+        tree, glo, ghi, pad, cfg, n_ref=n, n_groups=n_groups, box=box)
 
     gv, gdt4, gty = _gather_group_fields(rows, dts, typs, idxg, gvalid)
     gidx = jnp.where(gvalid, idxg, -1)
@@ -559,7 +560,7 @@ def _gather_group_fields(rows, dts, typs, idxg, gvalid):
 
 
 def tree_hsml_init(p: Particles, tree: Octree, k: int,
-                   cfg: RangeWalkConfig = None, iters: int = 10):
+                   cfg: RangeWalkConfig = None, iters: int = 10, box=0.0):
     """Initial smoothing lengths for collisionless particles at scale
     (setup_smoothinglengths_sidm analog, init.c:159).
 
@@ -580,6 +581,17 @@ def tree_hsml_init(p: Particles, tree: Octree, k: int,
     h = h_sorted[inv]
     col = p.is_collisionless & p.valid
     h = jnp.where(col, h, 0.0)
+    # Cap at 8x median, matching the production scan's h_eff cap
+    # (_tree_sidm_prep): outskirt Morton neighbours can lie across the
+    # whole system, and uncapped search radii make every group bbox cover
+    # every cell — a pathological walk workload.
+    hcap = 8.0 * jnp.nanmedian(jnp.where(col, h, jnp.nan))
+    hcap = jnp.nan_to_num(hcap, nan=jnp.inf)
+
+    def cap(hh):
+        return jnp.where(col, jnp.minimum(hh, hcap), hh)
+
+    h = cap(h)
 
     typs = jnp.where(col, p.ptype, -9)[tree.perm]
     aux = jnp.clip(p.ptype, 0, 7).astype(dtype)[tree.perm]
@@ -595,14 +607,14 @@ def tree_hsml_init(p: Particles, tree: Octree, k: int,
         gt, gh, glo, ghi, pad, idxg, gvalid, n_groups = _group_geometry(
             tree, hs, cfg)
         seg_g, seg_s, seg_c, scnt, _ = range_walk(
-            tree, glo, ghi, pad, cfg, n_ref=n, n_groups=n_groups)
+            tree, glo, ghi, pad, cfg, n_ref=n, n_groups=n_groups, box=box)
         gv, gdt, gty = _gather_group_fields(rows, dts_sorted, typs, idxg,
                                             gvalid)
         gidx = jnp.where(gvalid, idxg, -1)
         ptot, best, cnt, bj = _scan_all(
             rows, seg_g, seg_s, seg_c, scnt, gt, gv, gh, gdt, gty, gidx,
             jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype),
-            jnp.uint32(it), _HSML_PARAMS, cfg, 0.0)
+            jnp.uint32(it), _HSML_PARAMS, cfg, box)
         flat_idx = jnp.where(gvalid, idxg, n).reshape(-1)
         cnt_sorted = jnp.zeros(n + 1, jnp.int32).at[flat_idx].set(
             cnt.reshape(-1))[:n]
@@ -610,7 +622,7 @@ def tree_hsml_init(p: Particles, tree: Octree, k: int,
         if it < iters:
             ratio = (k / jnp.maximum(cnt_flat, 1).astype(dtype)) \
                 ** (1.0 / 3.0)
-            h = jnp.where(col, h * jnp.clip(ratio, 0.5, 2.0), h)
+            h = cap(jnp.where(col, h * jnp.clip(ratio, 0.5, 2.0), h))
 
     return dataclasses.replace(
         p,

@@ -472,20 +472,31 @@ def eval_targets(tree: Octree, tpos, teps, toac, tvalid, *, box=None,
                  presorted: bool = False):
     """Force/potential for an arbitrary target set against ``tree``.
 
-    ``presorted`` targets (== tree.pos_s) use maximal tree cells as traversal
-    groups (spatially compact; see make_groups). Arbitrary target sets are
-    Morton-sorted into fixed windows — adequate for shards whose targets are
-    already a compact spatial domain. Results return in input order."""
+    ``presorted`` targets (== tree.pos_s) reshape directly into fixed
+    Morton-order windows: for force, every target group is evaluated against
+    the cells its bbox opens, so full 64-slot occupancy beats the tighter
+    bboxes of tree-cell groups (measured 17.6s vs 40.6s per 1e6-particle
+    force pass; the SIDM range scan makes the opposite trade — see
+    sidm_tree._group_geometry). Arbitrary target sets are Morton-sorted
+    first. Results return in input order."""
     cfg = config or WalkConfig()
     nt = tpos.shape[0]
     G = cfg.group_size
 
     if presorted:
-        grp_start, grp_cnt, n_groups, g_ovf = make_groups(tree, G=G)
-        idxg, gvalid, (gtargets, geps, goac) = gather_groups(
-            tree, grp_start, grp_cnt, n_groups, tpos, teps, toac,
-            fills=[0.0, 1.0, 0.0])
-        gvalid = gvalid & tvalid[idxg]
+        ng = -(-nt // G)
+        npad = ng * G
+
+        def padp(x, fill=0.0):
+            return jnp.concatenate(
+                [x, jnp.full((npad - nt,) + x.shape[1:], fill, x.dtype)])
+
+        gtargets = padp(tpos).reshape(ng, G, 3)
+        geps = padp(teps, 1.0).reshape(ng, G)
+        goac = padp(toac).reshape(ng, G)
+        gvalid = jnp.concatenate([tvalid, jnp.zeros(npad - nt, bool)]
+                                 ).reshape(ng, G)
+        n_groups = jnp.int32(ng)
     else:
         keys = morton_keys(tpos, tree.origin, tree.extent, tree.depth)
         keys = jnp.where(tvalid, keys, jnp.uint32(0xFFFFFFFF))
@@ -522,12 +533,8 @@ def eval_targets(tree: Octree, tpos, teps, toac, tvalid, *, box=None,
                              ewald=ewald)
 
     if presorted:
-        # scatter group-layout results back to the sorted-target axis
-        flat_idx = jnp.where(gvalid, idxg, nt).reshape(-1)
-        acc = jnp.zeros((nt + 1, 3), tpos.dtype).at[flat_idx].set(
-            acc_g.reshape(-1, 3))[:nt]
-        pot = jnp.zeros(nt + 1, tpos.dtype).at[flat_idx].set(
-            pot_g.reshape(-1))[:nt]
+        acc = acc_g.reshape(npad, 3)[:nt]
+        pot = pot_g.reshape(npad)[:nt]
     else:
         acc = acc_g.reshape(npad, 3)[:nt]
         pot = pot_g.reshape(npad)[:nt]

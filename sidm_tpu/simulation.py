@@ -448,7 +448,9 @@ class Simulation:
                 tree = build_octree(
                     p.pos, jnp.where(p.valid, p.mass, 0.0), eps, p.valid,
                     box=cfg.BoxSize if cfg.PeriodicBoundariesOn else 0.0)
-                p = tree_hsml_init(p, tree, cfg.DesNumNgb)
+                p = tree_hsml_init(
+                    p, tree, cfg.DesNumNgb,
+                    box=cfg.BoxSize if cfg.PeriodicBoundariesOn else 0.0)
             else:
                 from .ops.neighbors import setup_smoothing_lengths
                 box = cfg.BoxSize if cfg.PeriodicBoundariesOn else None

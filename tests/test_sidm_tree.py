@@ -93,6 +93,37 @@ def test_conservation_and_pairing():
     assert kicked.sum() == 2 * int(ns)
 
 
+def test_periodic_counts_wrap():
+    """Neighbour enumeration must cross the box wrap: counts from the tree
+    engine with box>0 must match brute-force minimum-image counts."""
+    n = 2048
+    box = 1.0
+    rng = np.random.default_rng(11)
+    pos = rng.uniform(0, box, (n, 3))
+    # pile extra particles against the faces so wraps matter
+    pos[: n // 4, 0] = rng.uniform(0, 0.02, n // 4)
+    pos[n // 4: n // 2, 0] = rng.uniform(0.98, 1.0, n // 4)
+    vel = rng.normal(0, 1, (n, 3))
+    p = make_particles(pos, vel, np.full(n, 1.0 / n), np.ones(n, np.int32),
+                       pad_to_multiple=n)
+    p = setup_smoothing_lengths(p, 30, 2, box=box)
+    params = SidmParams(1.0, 0, 1.0, 1.0, 0.0, 30, 2, False, 0.1, 0.0, 0.0,
+                        maintenance_rate=1.0)
+    eps = jnp.full(n, 0.01, jnp.float32)
+    tree = build_octree(p.pos, p.mass, eps, p.valid, box=box)
+    pp, _ = sidm_scatter_tree(p, p.pos, tree, jnp.float32(0.01), p.valid,
+                              jnp.float32(5.0), run_key(2, 2), params,
+                              box=box, salt=5)
+    cnt = np.asarray(pp.ngb_vd)
+    h = np.asarray(p.hsml_vd)
+    for i in range(0, n, 11):
+        d = pos - pos[i]
+        d -= box * np.round(d / box)
+        r = np.linalg.norm(d, axis=1)
+        ref = int(((r < h[i]) & (r > 0)).sum())
+        assert cnt[i] == ref, (i, cnt[i], ref)
+
+
 def test_tree_hsml_init_counts_exact():
     """tree_hsml_init (large-N path of setup_smoothinglengths_sidm) must
     return neighbour counts consistent with its returned h, in-band."""
