@@ -570,12 +570,33 @@ def tree_hsml_init(p: Particles, tree: Octree, k: int,
     cfg = cfg or RangeWalkConfig()
     n = tree.pos_s.shape[0]
     dtype = tree.pos_s.dtype
+    offs = tree.level_offsets
 
-    # Morton-window spacing seed (sorted order)
-    w = max(k // 2, 4)
-    shifted = jnp.roll(tree.pos_s, -w, axis=0)
-    d = jnp.linalg.norm(shifted - tree.pos_s, axis=-1)
-    h_sorted = jnp.maximum(d * 1.3, tree.extent * 1e-7)
+    # Density seed from the tree's own cell counts: per particle, take the
+    # deepest ancestor cell holding >= 2k particles; local density c/s^3
+    # gives h = s * (3k / (4 pi c))^(1/3). Accurate to cell-scale density
+    # gradients everywhere (including sparse outskirts, where the earlier
+    # Morton-window spacing seed overshot by the whole system size and the
+    # resulting walk workload could kill the backend). Particle -> node maps
+    # by marking each segment start with its node index and cummax-filling.
+    s_sel = jnp.full(n, 1.0, dtype) * tree.extent
+    c_sel = jnp.full(n, float(n), dtype)
+    ends = list(offs[1:]) + [tree.node_start.shape[0]]
+    for l in range(1, tree.depth + 1):
+        o = offs[l]
+        cap_l = ends[l] - o
+        ids = o + jnp.arange(cap_l, dtype=jnp.int32)
+        valid_l = jnp.arange(cap_l) < tree.n_nodes[l]
+        cnts = tree.node_count[ids]
+        tgt = jnp.where(valid_l & (cnts > 0), tree.node_start[ids], n)
+        mark = jnp.full(n + 1, -1, jnp.int32).at[tgt].set(ids)[:n]
+        nid = lax.cummax(mark)
+        c_p = tree.node_count[jnp.maximum(nid, 0)].astype(dtype)
+        ok = (nid >= 0) & (c_p >= 2 * k)
+        s_l = tree.extent / (1 << l)
+        s_sel = jnp.where(ok, s_l, s_sel)
+        c_sel = jnp.where(ok, c_p, c_sel)
+    h_sorted = s_sel * (3.0 * k / (4.0 * jnp.pi * c_sel)) ** (1.0 / 3.0)
     inv = jnp.zeros(n, jnp.int32).at[tree.perm].set(
         jnp.arange(n, dtype=jnp.int32))
     h = h_sorted[inv]
@@ -606,8 +627,16 @@ def tree_hsml_init(p: Particles, tree: Octree, k: int,
         hs = h[tree.perm]
         gt, gh, glo, ghi, pad, idxg, gvalid, n_groups = _group_geometry(
             tree, hs, cfg)
-        seg_g, seg_s, seg_c, scnt, _ = range_walk(
+        seg_g, seg_s, seg_c, scnt, ovf = range_walk(
             tree, glo, ghi, pad, cfg, n_ref=n, n_groups=n_groups, box=box)
+        # scalar readback: paces the dispatch queue (one walk+scan in
+        # flight at a time — long async queues of these programs are not
+        # reliable on the remote backend) and surfaces buffer overflow
+        int(scnt)
+        if int(ovf):
+            import logging
+            logging.getLogger(__name__).warning(
+                "tree_hsml_init pass %d overflow %d", it, int(ovf))
         gv, gdt, gty = _gather_group_fields(rows, dts_sorted, typs, idxg,
                                             gvalid)
         gidx = jnp.where(gvalid, idxg, -1)
@@ -622,7 +651,11 @@ def tree_hsml_init(p: Particles, tree: Octree, k: int,
         if it < iters:
             ratio = (k / jnp.maximum(cnt_flat, 1).astype(dtype)) \
                 ** (1.0 / 3.0)
-            h = cap(jnp.where(col, h * jnp.clip(ratio, 0.5, 2.0), h))
+            # On overflow, counts are biased LOW for the dropped groups;
+            # growing h would inflate the next pass's workload and feed the
+            # overflow back on itself. Shrink-only until the walk fits.
+            hi = 1.0 if int(ovf) else 2.0
+            h = cap(jnp.where(col, h * jnp.clip(ratio, 0.5, hi), h))
 
     return dataclasses.replace(
         p,

@@ -116,6 +116,15 @@ class Simulation:
         (read_ic.c:118-121)."""
         path = path or os.path.join(os.path.dirname(self.cfg.OutputDir),
                                     self.cfg.InitCondFile)
+        # ICFormat dispatch (init.c:26-40): 1 = Gadget snapshot; 3 = ZIC
+        # cluster ICs, except on restart-from-snapshot (flag 2)
+        if self.cfg.ICFormat == 3 and self.restart_flag != 2:
+            from .io.zic import read_ic_cluster
+            zic = read_ic_cluster(path, self.units.G)
+            p = make_particles(zic.pos, zic.vel, zic.mass, zic.ptype,
+                               pid=zic.pid, dtype=self.dtype)
+            self.particles = self._init_particle_times(p)
+            return
         snap = read_snapshot(path)
         if self.restart_flag == 2:
             self.time = float(snap.header.time)

@@ -130,3 +130,46 @@ def test_native_morton_parity():
     kj = np.asarray(morton_keys(jnp.asarray(pos), o, e))
     kn = native.morton_keys_native(pos, np.asarray(o), float(e))
     np.testing.assert_array_equal(kj, kn)
+
+
+def test_zic_cluster_reader(tmp_path):
+    """ZIC round-trip: header variants, HR/LR typing, unit factors, and the
+    LR zone split (read_ic_cluster.c semantics)."""
+    import math
+    from sidm_tpu.io.zic import read_ic_cluster, write_zic, default_massfac
+
+    rng = np.random.default_rng(3)
+    nhr, nlr = 40, 24
+    pos_hr = rng.uniform(-0.05, 0.05, (nhr, 3))
+    vel_hr = rng.normal(0, 0.01, (nhr, 3))
+    pos_lr = rng.uniform(-0.3, 0.3, (nlr, 3))
+    vel_lr = rng.normal(0, 0.01, (nlr, 3))
+    mass_lr = rng.uniform(1.0, 5.0, nlr)
+    a0, pmhr, G = 0.25, 2.5, 43007.1
+
+    fn = str(tmp_path / "zic.dat")
+    write_zic(fn, pos_hr, vel_hr, pos_lr, vel_lr, mass_lr, a0, pmhr=pmhr)
+    z = read_ic_cluster(fn, G)
+
+    assert z.time == pytest.approx(a0)
+    assert z.pmhr == pytest.approx(pmhr)
+    mf = default_massfac(G)
+    np.testing.assert_allclose(z.pos[:nhr], pos_hr.astype(np.float32) * 141300.0,
+                               rtol=1e-6)
+    np.testing.assert_allclose(
+        z.vel[nhr:], vel_lr.astype(np.float32) * 14130.0 * math.sqrt(a0),
+        rtol=1e-6)
+    np.testing.assert_allclose(z.mass[:nhr], pmhr * mf, rtol=1e-6)
+    np.testing.assert_allclose(z.mass[nhr:], mass_lr.astype(np.float32) * mf,
+                               rtol=1e-6)
+    assert (z.ptype[:nhr] == 1).all()
+    r = np.linalg.norm(z.pos[nhr:], axis=1)
+    np.testing.assert_array_equal(z.ptype[nhr:],
+                                  np.where(r > 24000.0, 3, 2))
+    assert (z.pid == np.arange(1, nhr + nlr + 1)).all()
+
+    # old header layout: no pmhr record, caller-supplied HR mass
+    fn2 = str(tmp_path / "zic_old.dat")
+    write_zic(fn2, pos_hr, vel_hr, pos_lr, vel_lr, mass_lr, a0)
+    z2 = read_ic_cluster(fn2, G, pmhr=7.0)
+    np.testing.assert_allclose(z2.mass[:nhr], 7.0 * mf, rtol=1e-6)
