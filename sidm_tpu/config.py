@@ -140,7 +140,7 @@ class SimConfig:
 
     # --- TPU-build extensions (absent from the reference grammar; all have
     #     defaults so reference files parse unchanged) ---
-    ForceMethod: str = "tree"           # "tree" | "direct"
+    ForceMethod: str = "tree"           # "tree" | "tree_legacy" | "direct"
     Precision: str = "f32"              # "f32" | "f64"
     SnapFormatOut: int = 1              # Gadget format-1 output
     EwaldGridSize: int = 64             # ewald.c EN=64
@@ -250,8 +250,9 @@ def _validate(cfg: SimConfig) -> SimConfig:
         raise ParameterError("CrossSectionType 2/4 requires YukawaVelocity > 0")
     if cfg.Precision not in ("f32", "f64"):
         raise ParameterError("Precision must be f32 or f64")
-    if cfg.ForceMethod not in ("tree", "direct"):
-        raise ParameterError("ForceMethod must be tree or direct")
+    if cfg.ForceMethod not in ("tree", "tree_legacy", "direct"):
+        raise ParameterError(
+            "ForceMethod must be tree, tree_legacy or direct")
     return cfg
 
 

@@ -1,0 +1,569 @@
+"""Fused dense Barnes-Hut gravity: per-group frontier, eval-at-discovery.
+
+TPU-native replacement for the flat-pair walk + chunked eval
+(ops/treeforce.py), designed from measured v5e primitive rates:
+
+* global argsort costs ~60 ms per million rows — the old walk's `_pack3`
+  partitions and the eval's group sort dominated the step (11.5 s walk +
+  2.9 s sort at N=1e6). Batched MINOR-AXIS sorts are ~70x cheaper, so all
+  compaction here is per-group `jnp.sort(axis=1)` over packed int keys.
+* random row gathers run ~400M rows/s from tables <~8 MB and ~150M rows/s
+  from ~64 MB tables — so node data lives in PER-LEVEL packed tables
+  (levels <= 6 are all in the fast zone) and is gathered once per frontier
+  slot per level, serving BOTH the opening criterion and the force math.
+* narrow trailing dims are lane-padded to 128 (f32[N,8] occupies 512 B/row),
+  so node rows pack all 16 force fields in one gather row, and near-field
+  particles pack 16-to-a-row in a (N/16, 128) table.
+
+Structure (reference semantics: force_treeevaluate, forcetree.c:786-1377):
+
+* Targets = fixed 64-wide Morton windows of the sorted particle array;
+  opening criteria evaluated once per (group, node) against the group bbox
+  (conservative; per-target forces exact for the accepted sets).
+* The frontier is (ngroups, W_l) per-level LOCAL node ids. Each level:
+  gather rows -> classify {open, far-accept, leaf-accept, dead} ->
+  ACCEPTED MULTIPOLES ARE EVALUATED IMMEDIATELY (monopole + traceless
+  quadrupole, spline softening h=2.8 eps, forcetree.c:834,1002-1060) using
+  the just-gathered rows -> leaf segments are compacted by one axis-1 sort
+  and their PARTICLES EVALUATED IN THE SAME LEVEL (so nothing is ever
+  dropped) -> open slots are compacted by another axis-1 sort, expanded x8.
+* Near-field entries are (start, count<=16) particle ranges read as two
+  16-particle packed rows with an in-window mask. i==j self pairs cancel
+  exactly in the sum-factorised accumulation.
+* Pair math: far-field r^2 via the |x|^2+|y|^2-2x.y expansion on
+  GROUP-CENTERED coordinates (cancellation ~eps*(bbox/r)^2 is safe there
+  because the MAC keeps r >~ bbox); NEAR-field r^2 by exact component
+  differencing (sparse Morton groups have bbox >> pair separation, where
+  the expansion loses >1e-2). Force accumulation stays MXU-shaped
+  (64,W)x(W,3) contractions at Precision.HIGHEST — TPU default bf16
+  truncation breaks both the cancellation and the 1e-3 oracle bar.
+
+Both opening criteria are supported: geometric BH (len^2 > theta^2 r^2,
+forcetree.c:967) and relative (m len^4 > |a_old| ErrTolForceAcc r^6,
+forcetree.c:1254-1257) with BH fallback when a_old is unavailable.
+
+Periodic (Ewald) runs stay on the legacy engine: minimum-image breaks the
+r^2 expansion and table lookups the gather budget; see treeforce.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..kernels import softened_inv_r3, softened_potential
+from .tree import Octree, build_octree, level_offsets
+
+IMAX = jnp.int32(2147483647)
+
+# TPU MXU default-precision truncates einsum inputs to bf16; the r^2
+# |x|^2+|y|^2-2x.y expansion then cancels catastrophically for near pairs
+# (measured p99 error 13 on v5e vs 4e-4 on CPU). HIGHEST (f32-exact 6-pass)
+# costs nothing here: the engine is gather/HBM bound, not MXU bound.
+_PREC = lax.Precision.HIGHEST
+
+
+def _einsum(spec, *ops, dtype):
+    return jnp.einsum(spec, *ops, precision=_PREC,
+                      preferred_element_type=dtype)
+
+
+class FusedConfig(NamedTuple):
+    group_size: int = 64
+    start_level: int = 2
+    leaf_cap: int = 16
+    w_max: int = 1024          # frontier width cap per level
+    big_cap: int = 4           # overfull deepest cells per group
+    big_chunks: int = 32       # 16-particle chunks per overfull cell
+    group_block: int = 2048    # groups per eval block (memory bound)
+    wc: int = 128              # frontier columns per eval chunk
+    sc: int = 16               # segment entries per near-field chunk
+                               # (sc and wc must divide every frontier width
+                               #  the schedule emits: powers of two <= wc)
+    theta_scale: bool = True   # widen caps for small theta
+
+
+class FusedTree(NamedTuple):
+    levels: tuple          # per level (cap_l, 16) f32 packed node rows
+    part16: jax.Array      # (ceil(N/16), 128) packed particles (16 x 8 f32)
+    n_levels: tuple        # per level () int32 real node count
+
+
+# packed node row layout
+_COM = slice(0, 3)
+_MASS = 3
+_CNT = 4
+_NSTART = 5
+_CSTART = 6
+_CCNT = 7
+_QUAD = slice(8, 14)
+_EPS = 14
+
+
+def pack_tree(tree: Octree) -> FusedTree:
+    """Per-level 16-wide node rows + 16-particle packed rows.
+
+    All integer fields are stored as exact f32 (requires N <= 2^24 per
+    shard and node counts <= 2^24, asserted by the caller)."""
+    n = tree.pos_s.shape[0]
+    depth = tree.depth
+    offs = level_offsets(n, depth)
+    dtype = tree.pos_s.dtype
+
+    levels = []
+    for l in range(depth + 1):
+        sl = slice(offs[l], offs[l + 1])
+        mac = tree.mac_rows[sl]
+        quad = tree.quad_rows[sl]
+        child_local = tree.child_start[sl] - (offs[l + 1] if l < depth else 0)
+        row = jnp.concatenate([
+            mac[:, 0:3],                                 # com
+            mac[:, 3:4],                                 # mass
+            mac[:, 7:8],                                 # count
+            tree.node_start[sl, None].astype(dtype),
+            jnp.maximum(child_local, 0)[:, None].astype(dtype),
+            tree.child_count[sl, None].astype(dtype),
+            quad[:, 0:6],                                # quadrupole
+            quad[:, 6:7],                                # eps_max
+            jnp.zeros((mac.shape[0], 1), dtype),
+        ], axis=1)
+        levels.append(row)
+
+    np16 = -(-n // 16)
+    pr = jnp.zeros((np16 * 16, 8), dtype)
+    pr = pr.at[:n, 0:3].set(tree.pos_s)
+    pr = pr.at[:n, 3].set(tree.mass_s)
+    pr = pr.at[:n, 4].set(tree.eps_s)
+    part16 = pr.reshape(np16, 128)
+    return FusedTree(levels=tuple(levels), part16=part16,
+                     n_levels=tuple(tree.n_nodes))
+
+
+def _w_schedule(cfg: FusedConfig, depth: int, n: int, theta: float,
+                use_relative: bool):
+    """Static frontier width caps per level."""
+    wmax = cfg.w_max
+    if cfg.theta_scale and not use_relative and theta < 0.5:
+        wmax = int(wmax * min((0.5 / max(theta, 0.1)) ** 3, 8.0))
+    def round_w(w):
+        # the eval chunk width must divide W (dynamic_slice would clamp and
+        # re-read slots otherwise): round small widths to a power of two
+        # that min(wc, W) divides, larger ones to a multiple of wc
+        if w >= cfg.wc:
+            return -(-w // cfg.wc) * cfg.wc
+        p = 8
+        while p < w:
+            p *= 2
+        return p
+
+    ws = {}
+    caps = [min(8 ** l, n) for l in range(depth + 1)]
+    w = min(8 ** cfg.start_level, caps[cfg.start_level], wmax)
+    for l in range(cfg.start_level, depth + 1):
+        w = round_w(max(min(w, caps[l], wmax), 8))
+        ws[l] = w
+        w = w * 8
+    return ws
+
+
+def _far_tile(rows, xc, te, gc):
+    """Monopole + quadrupole of packed node rows against one group block.
+
+    rows: (GB, WC, 16) with mass already zeroed on non-accepted slots;
+    xc: (GB, G, 3) group-centered targets; te: (GB, G) target softenings;
+    gc: (GB, 3) group centers. Returns (dacc (GB,G,3), dpot (GB,G))."""
+    dtype = xc.dtype
+    com = rows[..., _COM] - gc[:, None, :]               # (GB,WC,3) centered
+    m = rows[..., _MASS]                                 # (GB,WC)
+    epsn = rows[..., _EPS]
+    q = rows[..., _QUAD]                                 # (GB,WC,6)
+
+    ny2 = jnp.sum(com * com, axis=-1)                    # (GB,WC)
+    nx2 = jnp.sum(xc * xc, axis=-1)                      # (GB,G)
+    cross = _einsum("gtd,gwd->gtw", xc, com, dtype=dtype)     # (GB,G,WC)
+    r2 = jnp.maximum(nx2[:, :, None] + ny2[:, None, :] - 2.0 * cross, 0.0)
+    r = jnp.sqrt(r2)
+    h = 2.8 * jnp.maximum(te[:, :, None], epsn[:, None, :])
+    fac = m[:, None, :] * softened_inv_r3(r, h)          # (GB,G,WC)
+
+    dacc = _einsum("gtw,gwd->gtd", fac, com, dtype=dtype)
+    dacc = dacc - xc * jnp.sum(fac, axis=-1)[..., None]
+    dpot = jnp.sum(m[:, None, :] * softened_potential(r, h), axis=-1)
+
+    # quadrupole, Newtonian range only (forcetree.c:1002-1060)
+    live = m > 0
+    newton = (r >= h) & live[:, None, :]
+    r_safe = jnp.maximum(r, 1e-30)
+    ir = jnp.where(newton, 1.0 / r_safe, 0.0)
+    ir2 = ir * ir
+    w5 = ir2 * ir2 * ir                                  # 1/r^5 masked
+    w7 = w5 * ir2
+
+    cx, cy, cz = com[..., 0], com[..., 1], com[..., 2]
+    qxx, qyy, qzz = q[..., 0], q[..., 1], q[..., 2]
+    qxy, qxz, qyz = q[..., 3], q[..., 4], q[..., 5]
+    u = jnp.stack([qxx * cx + qxy * cy + qxz * cz,
+                   qxy * cx + qyy * cy + qyz * cz,
+                   qxz * cx + qyz * cy + qzz * cz], axis=-1)   # (GB,WC,3)
+    s = jnp.sum(u * com, axis=-1)                               # (GB,WC)
+    xu = _einsum("gtd,gwd->gtw", xc, u, dtype=dtype)
+    phi = jnp.stack([xc[..., 0] ** 2, xc[..., 1] ** 2, xc[..., 2] ** 2,
+                     2 * xc[..., 0] * xc[..., 1],
+                     2 * xc[..., 0] * xc[..., 2],
+                     2 * xc[..., 1] * xc[..., 2]], axis=-1)     # (GB,G,6)
+    xqx = _einsum("gtq,gwq->gtw", phi, q, dtype=dtype)
+    dqd = s[:, None, :] - 2.0 * xu + xqx                        # (GB,G,WC)
+
+    # acc_q = sum_w [-(u - Qx) w5 + 2.5 dqd w7 (com - x)]
+    w5u = _einsum("gtw,gwd->gtd", w5, u, dtype=dtype)
+    mw = _einsum("gtw,gwq->gtq", w5, q, dtype=dtype)
+    bx = (mw[..., 0] * xc[..., 0] + mw[..., 3] * xc[..., 1]
+          + mw[..., 4] * xc[..., 2])
+    by = (mw[..., 3] * xc[..., 0] + mw[..., 1] * xc[..., 1]
+          + mw[..., 5] * xc[..., 2])
+    bz = (mw[..., 4] * xc[..., 0] + mw[..., 5] * xc[..., 1]
+          + mw[..., 2] * xc[..., 2])
+    qxv = jnp.stack([bx, by, bz], axis=-1)                      # (GB,G,3)
+    t7 = w7 * dqd
+    dacc = dacc - w5u + qxv
+    dacc = dacc + 2.5 * (_einsum("gtw,gwd->gtd", t7, com, dtype=dtype)
+                         - xc * jnp.sum(t7, axis=-1)[..., None])
+    dpot = dpot - 0.5 * jnp.sum(dqd * w5, axis=-1)
+    return dacc, dpot
+
+
+def _near_tile(ent, part16, xr, te):
+    """Leaf-segment particles against one group block.
+
+    ent: (GB, SC) packed int32 entries start*32+cnt (IMAX = dead);
+    part16: (NP16, 128) packed particles. Returns (dacc, dpot)."""
+    dtype = xr.dtype
+    gb, sc = ent.shape
+    live = ent != IMAX
+    e = jnp.where(live, ent, 0)
+    start = e >> 5
+    cnt = jnp.where(live, e & 31, 0)
+    row0 = start >> 4
+    off = start & 15
+
+    nrows = part16.shape[0]
+    rid = jnp.stack([row0, jnp.minimum(row0 + 1, nrows - 1)], axis=-1)
+    g = part16[rid.reshape(-1)].reshape(gb, sc, 2, 16, 8)
+    g = g.reshape(gb, sc, 32, 8)
+    slot = jnp.arange(32, dtype=jnp.int32)
+    ok = (slot[None, None, :] >= off[:, :, None]) \
+        & (slot[None, None, :] < (off + cnt)[:, :, None]) \
+        & live[:, :, None]
+
+    S = sc * 32
+    y = g[..., 0:3].reshape(gb, S, 3)
+    ym = jnp.where(ok, g[..., 3], 0.0).reshape(gb, S)
+    yeps = g[..., 4].reshape(gb, S)
+
+    # RAW-coordinate per-pair differencing and per-pair accumulation. Both
+    # group-centering and the sum-factorised accumulation carry ~bbox*eps_f32
+    # absolute rounding per coordinate; for tight pairs (r ~ softening, whose
+    # contribution is 10-100x the net force at halo outskirts) that amplifies
+    # to >1e-3 net error — measured as the hernquist oracle failure. Raw f32
+    # subtraction is correctly rounded at the PAIR scale (like the direct-sum
+    # oracle). Unrolled over d so every broadcast stays (GB, G, S) with S on
+    # lanes (no trailing dim-3 tensor).
+    d0 = xr[:, :, None, 0] - y[:, None, :, 0]
+    d1 = xr[:, :, None, 1] - y[:, None, :, 1]
+    d2 = xr[:, :, None, 2] - y[:, None, :, 2]
+    r2 = d0 * d0 + d1 * d1 + d2 * d2
+    r = jnp.sqrt(r2)
+    h = 2.8 * jnp.maximum(te[:, :, None], yeps[:, None, :])
+    fac = ym[:, None, :] * softened_inv_r3(r, h)
+    dacc = jnp.stack([-jnp.sum(fac * d0, axis=-1),
+                      -jnp.sum(fac * d1, axis=-1),
+                      -jnp.sum(fac * d2, axis=-1)], axis=-1)
+    dpot = jnp.sum(ym[:, None, :] * softened_potential(r, h), axis=-1)
+    return dacc, dpot
+
+
+def _classify(rows, glo, ghi, oac, s_l, theta2, use_relative, leaf_cap,
+              last_level):
+    """Opening decision per (group, slot). rows: (GB, WC, 16)."""
+    com = rows[..., _COM]
+    m = rows[..., _MASS]
+    cnt = rows[..., _CNT]
+    dx = jnp.maximum(jnp.maximum(glo[:, None, :] - com, com - ghi[:, None, :]),
+                     0.0)
+    r2b = jnp.sum(dx * dx, axis=-1)                       # (GB,WC)
+    geo = s_l * s_l > theta2 * r2b
+    if use_relative:
+        rel = m * s_l ** 4 > oac[:, None] * r2b * r2b * r2b
+        mac_open = jnp.where(oac[:, None] > 0, rel, geo)
+    else:
+        mac_open = geo
+    # containment guard: open any cell whose com is within sqrt(3) s of the
+    # bbox (superset of the reference's geometric-center overlap test)
+    mac_open = mac_open | (r2b <= 3.0 * s_l * s_l)
+    live = cnt > 0
+    is_leaf = cnt <= leaf_cap
+    far = live & ~mac_open
+    seg = live & mac_open & is_leaf
+    deep = live & mac_open & ~is_leaf
+    if last_level:
+        opn = jnp.zeros_like(deep)
+        big = deep
+    else:
+        opn = deep
+        big = jnp.zeros_like(deep)
+    return far, seg, opn, big
+
+
+@partial(jax.jit, static_argnames=("theta", "use_relative", "cfg", "depth",
+                                   "n_real"))
+def _fused_eval(ftree: FusedTree, gtargets, geps, glo, ghi, oac, gvalid,
+                extent, theta: float, use_relative: bool, cfg: FusedConfig,
+                depth: int, n_real: int):
+    """The fused walk+eval over all levels. All group arrays are padded to a
+    multiple of cfg.group_block groups."""
+    ng, G, _ = gtargets.shape
+    dtype = gtargets.dtype
+    GB = min(cfg.group_block, ng)
+    NB = ng // GB
+    assert NB * GB == ng
+    theta2 = theta * theta
+
+    gc = 0.5 * (glo + ghi)
+    xc = gtargets - gc[:, None, :]
+    xc = jnp.where(gvalid[..., None], xc, 0.0)
+
+    ws = _w_schedule(cfg, depth, n_real, theta, use_relative)
+    l0 = cfg.start_level
+    W0 = ws[l0]
+
+    acc = jnp.zeros((ng, G, 3), dtype)
+    pot = jnp.zeros((ng, G), dtype)
+    ovf = jnp.zeros(2, jnp.int32)          # open, big overflows
+    n_seg_total = jnp.zeros((), jnp.int32)
+
+    # block views (NB, GB, ...)
+    def blk(x):
+        return x.reshape((NB, GB) + x.shape[1:])
+
+    xc_b, te_b, xr_b = blk(xc), blk(geps), blk(gtargets)
+    glo_b, ghi_b, oac_b, gc_b = blk(glo), blk(ghi), blk(oac), blk(gc)
+
+    # initial frontier: all start-level cells, every group
+    fids = jnp.tile(jnp.arange(W0, dtype=jnp.int32)[None, :], (ng, 1))
+    live_w = jnp.int32(W0)
+
+    for l in range(l0, depth + 1):
+        W = ws[l]
+        WC = min(cfg.wc, W)
+        NCH = W // WC if W % WC == 0 else W // WC + 1
+        tbl = ftree.levels[l]
+        s_l = extent / (1 << l)
+        last = l == depth
+
+        nl_real = ftree.n_levels[l]
+
+        def block_body(args, tbl=tbl, s_l=s_l, last=last, W=W, WC=WC,
+                       NCH=NCH, live_w=live_w, nl_real=nl_real):
+            fids_b, xcb, teb, glob, ghib, oacb, gcb = args
+            accb = jnp.zeros((GB, G, 3), dtype)
+            potb = jnp.zeros((GB, G), dtype)
+            segk = jnp.full((GB, W), IMAX, jnp.int32)
+            openk = jnp.full((GB, W), IMAX, jnp.int32)
+            bigk = jnp.full((GB, W), IMAX, jnp.int32)
+
+            def chunk(state):
+                ci, accb, potb, segk, openk, bigk = state
+                c0 = ci * WC
+                ids = lax.dynamic_slice(fids_b, (jnp.int32(0), c0), (GB, WC))
+                # ids beyond the level's REAL node count alias real rows
+                # after clipping (the initial arange frontier can exceed it
+                # at small n) — treat them as dead, not just negatives
+                dead = (ids < 0) | (ids >= nl_real)
+                rows = tbl[jnp.clip(ids, 0, tbl.shape[0] - 1)]
+                rows = jnp.where(dead[..., None], 0.0, rows)
+                far, seg, opn, big = _classify(
+                    rows, glob, ghib, oacb, s_l, theta2, use_relative,
+                    cfg.leaf_cap, last)
+                rows_far = rows.at[..., _MASS].set(
+                    jnp.where(far, rows[..., _MASS], 0.0))
+                da, dp = _far_tile(rows_far, xcb, teb, gcb)
+                accb = accb + da
+                potb = potb + dp
+
+                starts = rows[..., _NSTART].astype(jnp.int32)
+                cnts = rows[..., _CNT].astype(jnp.int32)
+                sk = jnp.where(seg, starts * 32 + jnp.minimum(cnts, 31),
+                               IMAX)
+                segk = lax.dynamic_update_slice(segk, sk, (jnp.int32(0), c0))
+                cs = rows[..., _CSTART].astype(jnp.int32)
+                cc = rows[..., _CCNT].astype(jnp.int32)
+                okk = jnp.where(opn, cs * 16 + cc, IMAX)
+                openk = lax.dynamic_update_slice(openk, okk, (jnp.int32(0), c0))
+                if last:
+                    bk = jnp.where(big, ids, IMAX)  # keep node id for big
+                    bigk = lax.dynamic_update_slice(bigk, bk, (jnp.int32(0), c0))
+                return ci + 1, accb, potb, segk, openk, bigk
+
+            def cond(state):
+                return state[0] * WC < jnp.minimum(live_w, W)
+
+            _, accb, potb, segk, openk, bigk = lax.while_loop(
+                cond, chunk, (jnp.int32(0), accb, potb, segk, openk, bigk))
+            return accb, potb, segk, openk, bigk
+
+        outs = lax.map(block_body, (blk(fids), xc_b, te_b, glo_b, ghi_b,
+                                    oac_b, gc_b))
+        accb, potb, segk, openk, bigk = outs
+        acc = acc + accb.reshape(ng, G, 3)
+        pot = pot + potb.reshape(ng, G)
+        segk = segk.reshape(ng, W)
+        openk = openk.reshape(ng, W)
+
+        # near field of this level's leaf segments, evaluated immediately
+        # from the sorted key plane (no drops: W itself bounds the width)
+        seg_sorted = jnp.sort(segk, axis=1)
+        n_seg = jnp.sum((segk != IMAX).astype(jnp.int32), axis=1)
+        n_seg_total = n_seg_total + jnp.sum(n_seg)
+        acc, pot = _near_level(acc, pot, seg_sorted, jnp.max(n_seg),
+                               ftree.part16, xr_b, te_b, cfg, NB, GB)
+
+        if last:
+            # overfull deepest cells -> 16-particle chunks, same near pass
+            bigk = bigk.reshape(ng, W)
+            border = jnp.argsort(bigk, axis=1)
+            bid = jnp.take_along_axis(bigk, border[:, :cfg.big_cap], axis=1)
+            bval = bid != IMAX
+            brow = tbl[jnp.clip(bid, 0, tbl.shape[0] - 1)]
+            bstart = brow[..., _NSTART].astype(jnp.int32)
+            bcnt = jnp.where(bval, brow[..., _CNT].astype(jnp.int32), 0)
+            k16 = jnp.arange(cfg.big_chunks, dtype=jnp.int32) * 16
+            cst = bstart[:, :, None] + k16[None, None, :]
+            ccn = jnp.clip(bcnt[:, :, None] - k16[None, None, :], 0, 16)
+            bkey = jnp.where(ccn > 0, cst * 32 + ccn,
+                             IMAX).reshape(ng, cfg.big_cap * cfg.big_chunks)
+            bkey = jnp.sort(bkey, axis=1)
+            n_bk = jnp.sum((bkey != IMAX).astype(jnp.int32), axis=1)
+            n_seg_total = n_seg_total + jnp.sum(n_bk)
+            acc, pot = _near_level(acc, pot, bkey, jnp.max(n_bk),
+                                   ftree.part16, xr_b, te_b, cfg, NB, GB)
+            n_big = jnp.sum((bigk != IMAX).astype(jnp.int32), axis=1)
+            ovf = ovf.at[1].add(
+                jnp.sum(jnp.maximum(n_big - cfg.big_cap, 0))
+                + jnp.sum(jnp.maximum(bcnt - 16 * cfg.big_chunks, 0)))
+            break
+
+        # expand open slots
+        Wn = ws[l + 1]
+        O = Wn // 8
+        open_sorted = jnp.sort(openk, axis=1)[:, :O]
+        n_open = jnp.sum((openk != IMAX).astype(jnp.int32), axis=1)
+        ovf = ovf.at[0].add(jnp.sum(jnp.maximum(n_open - O, 0)))
+        oval = open_sorted != IMAX
+        cs = jnp.where(oval, open_sorted >> 4, 0)
+        cc = jnp.where(oval, open_sorted & 15, 0)
+        k = jnp.arange(8, dtype=jnp.int32)
+        fids = jnp.where(k[None, None, :] < cc[:, :, None],
+                         cs[:, :, None] + k[None, None, :],
+                         -1).reshape(ng, Wn)
+        live_w = jnp.minimum(8 * jnp.max(n_open), jnp.int32(Wn))
+
+    info = dict(ovf_open=ovf[0], ovf_big=ovf[1], n_segs=n_seg_total)
+    return acc, pot, info
+
+
+def _near_level(acc, pot, seg_sorted, max_live, part16, xr_b, te_b,
+                cfg: FusedConfig, NB: int, GB: int):
+    """Near-field pass over one level's sorted (ng, W) segment-key plane."""
+    ng, W = seg_sorted.shape
+    G = xr_b.shape[2]
+    dtype = xr_b.dtype
+    SC = min(cfg.sc, W)
+
+    def near_block(args):
+        ent_b, xrb, teb = args
+        accb = jnp.zeros((GB, G, 3), dtype)
+        potb = jnp.zeros((GB, G), dtype)
+
+        def chunk(state):
+            ci, accb, potb = state
+            e = lax.dynamic_slice(ent_b, (jnp.int32(0), ci * SC), (GB, SC))
+            da, dp = _near_tile(e, part16, xrb, teb)
+            return ci + 1, accb + da, potb + dp
+
+        def cond(state):
+            return state[0] * SC < max_live
+
+        _, accb, potb = lax.while_loop(cond, chunk,
+                                       (jnp.int32(0), accb, potb))
+        return accb, potb
+
+    ent = seg_sorted.reshape(NB, GB, W)
+    acc_n, pot_n = lax.map(near_block, (ent, xr_b, te_b))
+    return acc + acc_n.reshape(ng, G, 3), pot + pot_n.reshape(ng, G)
+
+
+def fused_gravity(pos, mass, eps, old_acc, *, theta=0.5, opening=1,
+                  err_tol_force_acc=0.005, depth: int = 10,
+                  config: Optional[FusedConfig] = None,
+                  return_info: bool = False):
+    """Raw acceleration and potential (no G factor) for all particles.
+
+    Drop-in for treeforce.tree_gravity on non-periodic runs."""
+    cfg = config or FusedConfig()
+    n = pos.shape[0]
+    if n > (1 << 24):
+        raise ValueError("fused engine packs indices as exact f32; "
+                         "N per shard must be <= 2^24")
+    valid = mass > 0
+    tree = build_octree(pos, mass, eps, valid, box=0.0, depth=depth)
+    ftree = pack_tree(tree)
+
+    G = cfg.group_size
+    ng = -(-n // G)
+    GB = min(cfg.group_block, max(ng, 1))
+    ngp = -(-ng // GB) * GB
+    npad = ngp * G
+
+    def padp(x, fill=0.0):
+        return jnp.concatenate(
+            [x, jnp.full((npad - n,) + x.shape[1:], fill, x.dtype)])
+
+    toac = (old_acc[tree.perm] * err_tol_force_acc).astype(pos.dtype)
+    gtargets = padp(tree.pos_s).reshape(ngp, G, 3)
+    geps = padp(tree.eps_s, 1.0).reshape(ngp, G)
+    goac = padp(toac).reshape(ngp, G)
+    gvalid = jnp.concatenate(
+        [valid[tree.perm], jnp.zeros(npad - n, bool)]).reshape(ngp, G)
+
+    big = jnp.asarray(1e30, pos.dtype)
+    glo = jnp.min(jnp.where(gvalid[..., None], gtargets, big), axis=1)
+    ghi = jnp.max(jnp.where(gvalid[..., None], gtargets, -big), axis=1)
+    any_v = jnp.any(gvalid, axis=1)
+    # dead groups: park the bbox far outside so nothing opens
+    far_here = tree.origin + 4.0 * tree.extent
+    glo = jnp.where(any_v[:, None], glo, far_here)
+    ghi = jnp.where(any_v[:, None], ghi, far_here)
+    oac = jnp.min(jnp.where(gvalid & (goac > 0), goac, big), axis=1)
+    oac = jnp.where(jnp.any(gvalid & (goac > 0), axis=1), oac, 0.0)
+
+    acc_g, pot_g, info = _fused_eval(
+        ftree, gtargets, geps, glo, ghi, oac, gvalid, tree.extent,
+        float(theta), bool(opening == 1), cfg, depth, int(n))
+
+    acc = acc_g.reshape(npad, 3)[:n]
+    pot = pot_g.reshape(npad)[:n]
+    inv = jnp.zeros(n, jnp.int32).at[tree.perm].set(
+        jnp.arange(n, dtype=jnp.int32))
+    acc = acc[inv]
+    pot = pot[inv]
+    # remove spline self-potential (potential.c:136)
+    pot = pot + mass / jnp.maximum(eps, 1e-30)
+    pot = jnp.where(valid, pot, 0.0)
+    acc = jnp.where(valid[:, None], acc, 0.0)
+    if return_info:
+        return acc, pot, info
+    return acc, pot

@@ -192,6 +192,20 @@ class Simulation:
                 eps = soft_tab[jnp.clip(p.ptype, 0, 5)]
                 return direct_gravity(pos_pred, jnp.where(p.valid, p.mass, 0.0),
                                       eps, box=box, ewald=ewald)
+        elif self.cfg.ForceMethod == "tree" and box is None:
+            # fused frontier engine: the fast non-periodic tree path
+            # (periodic runs need per-interaction Ewald lookups and
+            # minimum-image, which stay on the legacy flat-pair engine)
+            from .ops.fused_force import fused_gravity
+
+            def force(pos_pred, p, soft_tab):
+                eps = soft_tab[jnp.clip(p.ptype, 0, 5)]
+                return fused_gravity(
+                    pos_pred, jnp.where(p.valid, p.mass, 0.0), eps,
+                    p.old_acc,
+                    theta=self.cfg.ErrTolTheta,
+                    opening=self.cfg.TypeOfOpeningCriterion,
+                    err_tol_force_acc=self.cfg.ErrTolForceAcc)
         else:
             from .ops.treeforce import tree_gravity
 
