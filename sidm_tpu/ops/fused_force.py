@@ -67,8 +67,12 @@ IMAX = jnp.int32(2147483647)
 _PREC = lax.Precision.HIGHEST
 
 
-def _einsum(spec, *ops, dtype):
-    return jnp.einsum(spec, *ops, precision=_PREC,
+_PREC_MAP = {"highest": lax.Precision.HIGHEST, "high": lax.Precision.HIGH,
+             "default": lax.Precision.DEFAULT}
+
+
+def _einsum(spec, *ops, dtype, prec=_PREC):
+    return jnp.einsum(spec, *ops, precision=prec,
                       preferred_element_type=dtype)
 
 
@@ -76,15 +80,21 @@ class FusedConfig(NamedTuple):
     group_size: int = 64
     start_level: int = 2
     leaf_cap: int = 16
-    w_max: int = 1024          # frontier width cap per level
-    big_cap: int = 4           # overfull deepest cells per group
-    big_chunks: int = 32       # 16-particle chunks per overfull cell
+    w_max: int = 6144          # frontier width cap per level
+    open_cap: int = 1024       # opened cells kept per (group, level)
+    big_cap: int = 8           # overfull deepest cells per group
+    big_chunks: int = 8        # 16-particle chunks per overfull cell
     group_block: int = 2048    # groups per eval block (memory bound)
     wc: int = 128              # frontier columns per eval chunk
     sc: int = 16               # segment entries per near-field chunk
                                # (sc and wc must divide every frontier width
                                #  the schedule emits: powers of two <= wc)
     theta_scale: bool = True   # widen caps for small theta
+    break_level: int = 4       # restart groups at this level's cell bounds
+    # profiling/debug knobs (results are WRONG when a stage is skipped)
+    skip_far: bool = False
+    skip_near: bool = False
+    precision: str = "highest"  # "highest" | "high" | "default" for einsums
 
 
 class FusedTree(NamedTuple):
@@ -148,7 +158,7 @@ def _w_schedule(cfg: FusedConfig, depth: int, n: int, theta: float,
     """Static frontier width caps per level."""
     wmax = cfg.w_max
     if cfg.theta_scale and not use_relative and theta < 0.5:
-        wmax = int(wmax * min((0.5 / max(theta, 0.1)) ** 3, 8.0))
+        wmax = min(int(wmax * min((0.5 / max(theta, 0.1)) ** 3, 8.0)), 8192)
     def round_w(w):
         # the eval chunk width must divide W (dynamic_slice would clamp and
         # re-read slots otherwise): round small widths to a power of two
@@ -164,13 +174,17 @@ def _w_schedule(cfg: FusedConfig, depth: int, n: int, theta: float,
     caps = [min(8 ** l, n) for l in range(depth + 1)]
     w = min(8 ** cfg.start_level, caps[cfg.start_level], wmax)
     for l in range(cfg.start_level, depth + 1):
+        if l >= cfg.start_level + 2:
+            # uniform width from here down so the level loop can run as
+            # ONE lax.scan body (shapes must match across levels)
+            w = wmax
         w = round_w(max(min(w, caps[l], wmax), 8))
         ws[l] = w
         w = w * 8
     return ws
 
 
-def _far_tile(rows, xc, te, gc):
+def _far_tile(rows, xc, te, gc, prec=_PREC, need_pot=True):
     """Monopole + quadrupole of packed node rows against one group block.
 
     rows: (GB, WC, 16) with mass already zeroed on non-accepted slots;
@@ -184,15 +198,18 @@ def _far_tile(rows, xc, te, gc):
 
     ny2 = jnp.sum(com * com, axis=-1)                    # (GB,WC)
     nx2 = jnp.sum(xc * xc, axis=-1)                      # (GB,G)
-    cross = _einsum("gtd,gwd->gtw", xc, com, dtype=dtype)     # (GB,G,WC)
+    cross = _einsum("gtd,gwd->gtw", xc, com, dtype=dtype, prec=prec)     # (GB,G,WC)
     r2 = jnp.maximum(nx2[:, :, None] + ny2[:, None, :] - 2.0 * cross, 0.0)
     r = jnp.sqrt(r2)
     h = 2.8 * jnp.maximum(te[:, :, None], epsn[:, None, :])
     fac = m[:, None, :] * softened_inv_r3(r, h)          # (GB,G,WC)
 
-    dacc = _einsum("gtw,gwd->gtd", fac, com, dtype=dtype)
+    dacc = _einsum("gtw,gwd->gtd", fac, com, dtype=dtype, prec=prec)
     dacc = dacc - xc * jnp.sum(fac, axis=-1)[..., None]
-    dpot = jnp.sum(m[:, None, :] * softened_potential(r, h), axis=-1)
+    if need_pot:
+        dpot = jnp.sum(m[:, None, :] * softened_potential(r, h), axis=-1)
+    else:
+        dpot = jnp.zeros(xc.shape[:2], dtype)
 
     # quadrupole, Newtonian range only (forcetree.c:1002-1060)
     live = m > 0
@@ -210,17 +227,17 @@ def _far_tile(rows, xc, te, gc):
                    qxy * cx + qyy * cy + qyz * cz,
                    qxz * cx + qyz * cy + qzz * cz], axis=-1)   # (GB,WC,3)
     s = jnp.sum(u * com, axis=-1)                               # (GB,WC)
-    xu = _einsum("gtd,gwd->gtw", xc, u, dtype=dtype)
+    xu = _einsum("gtd,gwd->gtw", xc, u, dtype=dtype, prec=prec)
     phi = jnp.stack([xc[..., 0] ** 2, xc[..., 1] ** 2, xc[..., 2] ** 2,
                      2 * xc[..., 0] * xc[..., 1],
                      2 * xc[..., 0] * xc[..., 2],
                      2 * xc[..., 1] * xc[..., 2]], axis=-1)     # (GB,G,6)
-    xqx = _einsum("gtq,gwq->gtw", phi, q, dtype=dtype)
+    xqx = _einsum("gtq,gwq->gtw", phi, q, dtype=dtype, prec=prec)
     dqd = s[:, None, :] - 2.0 * xu + xqx                        # (GB,G,WC)
 
     # acc_q = sum_w [-(u - Qx) w5 + 2.5 dqd w7 (com - x)]
-    w5u = _einsum("gtw,gwd->gtd", w5, u, dtype=dtype)
-    mw = _einsum("gtw,gwq->gtq", w5, q, dtype=dtype)
+    w5u = _einsum("gtw,gwd->gtd", w5, u, dtype=dtype, prec=prec)
+    mw = _einsum("gtw,gwq->gtq", w5, q, dtype=dtype, prec=prec)
     bx = (mw[..., 0] * xc[..., 0] + mw[..., 3] * xc[..., 1]
           + mw[..., 4] * xc[..., 2])
     by = (mw[..., 3] * xc[..., 0] + mw[..., 1] * xc[..., 1]
@@ -230,13 +247,14 @@ def _far_tile(rows, xc, te, gc):
     qxv = jnp.stack([bx, by, bz], axis=-1)                      # (GB,G,3)
     t7 = w7 * dqd
     dacc = dacc - w5u + qxv
-    dacc = dacc + 2.5 * (_einsum("gtw,gwd->gtd", t7, com, dtype=dtype)
+    dacc = dacc + 2.5 * (_einsum("gtw,gwd->gtd", t7, com, dtype=dtype, prec=prec)
                          - xc * jnp.sum(t7, axis=-1)[..., None])
-    dpot = dpot - 0.5 * jnp.sum(dqd * w5, axis=-1)
+    if need_pot:
+        dpot = dpot - 0.5 * jnp.sum(dqd * w5, axis=-1)
     return dacc, dpot
 
 
-def _near_tile(ent, part16, xr, te):
+def _near_tile(ent, part16, xr, te, need_pot=True):
     """Leaf-segment particles against one group block.
 
     ent: (GB, SC) packed int32 entries start*32+cnt (IMAX = dead);
@@ -282,7 +300,10 @@ def _near_tile(ent, part16, xr, te):
     dacc = jnp.stack([-jnp.sum(fac * d0, axis=-1),
                       -jnp.sum(fac * d1, axis=-1),
                       -jnp.sum(fac * d2, axis=-1)], axis=-1)
-    dpot = jnp.sum(ym[:, None, :] * softened_potential(r, h), axis=-1)
+    if need_pot:
+        dpot = jnp.sum(ym[:, None, :] * softened_potential(r, h), axis=-1)
+    else:
+        dpot = jnp.zeros((gb, xr.shape[1]), dtype)
     return dacc, dpot
 
 
@@ -318,13 +339,131 @@ def _classify(rows, glo, ghi, oac, s_l, theta2, use_relative, leaf_cap,
     return far, seg, opn, big
 
 
+def _level_pass(fids, live_w, acc, pot, n_seg_total, tbl, s_l, nl_real,
+                xc_b, te_b, xr_b, glo_b, ghi_b, oac_b, gc_b, part16,
+                *, W, WC, last, theta2, use_relative, cfg, need_pot,
+                NB, GB, ng, G, dtype):
+    """One level: gather/classify/far over the frontier, then the near pass.
+
+    Returns (acc, pot, n_seg_total, segk?, openk, bigk) with openk/bigk as
+    (ng, W) key planes for the caller's expansion / big handling."""
+
+    def blk(x):
+        return x.reshape((NB, GB) + x.shape[1:])
+
+    def block_body(args):
+        fids_b, xcb, teb, glob, ghib, oacb, gcb, live_b = args
+        accb = jnp.zeros((GB, G, 3), dtype)
+        potb = jnp.zeros((GB, G), dtype)
+        segk = jnp.full((GB, W), IMAX, jnp.int32)
+        openk = jnp.full((GB, W), IMAX, jnp.int32)
+        bigk = jnp.full((GB, W), IMAX, jnp.int32)
+
+        def chunk(state):
+            ci, accb, potb, segk, openk, bigk = state
+            c0 = ci * WC
+            ids = lax.dynamic_slice(fids_b, (jnp.int32(0), c0), (GB, WC))
+            # ids beyond the level's REAL node count alias real rows after
+            # clipping (the initial arange frontier can exceed it at small
+            # n) — treat them as dead, not just negatives
+            dead = (ids < 0) | (ids >= nl_real)
+            rows = tbl[jnp.clip(ids, 0, tbl.shape[0] - 1)]
+            rows = jnp.where(dead[..., None], 0.0, rows)
+            far, seg, opn, big = _classify(
+                rows, glob, ghib, oacb, s_l, theta2, use_relative,
+                cfg.leaf_cap, last)
+            rows_far = rows.at[..., _MASS].set(
+                jnp.where(far, rows[..., _MASS], 0.0))
+            if not cfg.skip_far:
+                da, dp = _far_tile(rows_far, xcb, teb, gcb,
+                                   _PREC_MAP[cfg.precision], need_pot)
+                accb = accb + da
+                potb = potb + dp
+
+            starts = rows[..., _NSTART].astype(jnp.int32)
+            cnts = rows[..., _CNT].astype(jnp.int32)
+            sk = jnp.where(seg, starts * 32 + jnp.minimum(cnts, 31), IMAX)
+            segk = lax.dynamic_update_slice(segk, sk, (jnp.int32(0), c0))
+            cs = rows[..., _CSTART].astype(jnp.int32)
+            cc = rows[..., _CCNT].astype(jnp.int32)
+            okk = jnp.where(opn, cs * 16 + cc, IMAX)
+            openk = lax.dynamic_update_slice(openk, okk, (jnp.int32(0), c0))
+            if last:
+                bk = jnp.where(big, ids, IMAX)  # keep node id for big
+                bigk = lax.dynamic_update_slice(bigk, bk, (jnp.int32(0), c0))
+            return ci + 1, accb, potb, segk, openk, bigk
+
+        def cond(state):
+            return state[0] * WC < jnp.minimum(live_b, W)
+
+        _, accb, potb, segk, openk, bigk = lax.while_loop(
+            cond, chunk, (jnp.int32(0), accb, potb, segk, openk, bigk))
+        return accb, potb, segk, openk, bigk
+
+    outs = lax.map(block_body, (blk(fids), xc_b, te_b, glo_b, ghi_b,
+                                oac_b, gc_b, live_w))
+    accb, potb, segk, openk, bigk = outs
+    acc = acc + accb.reshape(ng, G, 3)
+    pot = pot + potb.reshape(ng, G)
+    segk = segk.reshape(ng, W)
+    openk = openk.reshape(ng, W)
+
+    # near field of this level's leaf segments, evaluated immediately from
+    # the sorted key plane (no drops: W itself bounds the width)
+    seg_sorted = jnp.sort(segk, axis=1)
+    n_seg = jnp.sum((segk != IMAX).astype(jnp.int32), axis=1)
+    n_seg_total = n_seg_total + jnp.sum(n_seg)
+    if not cfg.skip_near:
+        acc, pot = _near_level(
+            acc, pot, seg_sorted, jnp.max(n_seg.reshape(NB, GB), axis=1),
+            part16, xr_b, te_b, cfg, NB, GB, need_pot)
+    return acc, pot, n_seg_total, openk, bigk.reshape(ng, W)
+
+
+def _expand_open(openk, ovf, *, Wn, cfg, NB, GB, ng):
+    """Open keys -> next frontier, COMPACTING real children: mean branching
+    is ~3.5 of 8, so sorting the absent-child gaps out lets the next
+    frontier be ~2.5x narrower than the naive 8*opens bound."""
+    W = openk.shape[1]
+    O = min(W, cfg.open_cap)
+    open_sorted = jnp.sort(openk, axis=1)[:, :O]
+    n_open = jnp.sum((openk != IMAX).astype(jnp.int32), axis=1)
+    max_open = jnp.max(n_open)
+    ovf = ovf.at[0].add(jnp.sum(jnp.maximum(n_open - O, 0)))
+    oval = open_sorted != IMAX
+    cs = jnp.where(oval, open_sorted >> 4, 0)
+    cc = jnp.where(oval, open_sorted & 15, 0)
+    k = jnp.arange(8, dtype=jnp.int32)
+    kids = jnp.where(k[None, None, :] < cc[:, :, None],
+                     cs[:, :, None] + k[None, None, :],
+                     IMAX).reshape(ng, 8 * O)
+    n_child = jnp.sum((kids != IMAX).astype(jnp.int32), axis=1)
+    if 8 * O > Wn:
+        kids = jnp.sort(kids, axis=1)[:, :Wn]
+        ovf = ovf.at[0].add(jnp.sum(jnp.maximum(n_child - Wn, 0)))
+        live_c = jnp.minimum(n_child.reshape(NB, GB), Wn)
+    else:
+        kids = jnp.concatenate(
+            [kids, jnp.full((ng, Wn - 8 * O), IMAX, jnp.int32)], axis=1)
+        # unsorted: gaps interleave, so the live bound is 8*opens
+        live_c = jnp.minimum(8 * n_open.reshape(NB, GB), Wn)
+    fids = jnp.where(kids == IMAX, -1, kids)
+    live_w = jnp.max(live_c, axis=1).astype(jnp.int32)
+    return fids, live_w, ovf, max_open
+
+
 @partial(jax.jit, static_argnames=("theta", "use_relative", "cfg", "depth",
-                                   "n_real"))
+                                   "n_real", "need_pot"))
 def _fused_eval(ftree: FusedTree, gtargets, geps, glo, ghi, oac, gvalid,
                 extent, theta: float, use_relative: bool, cfg: FusedConfig,
-                depth: int, n_real: int):
+                depth: int, n_real: int, need_pot: bool = True):
     """The fused walk+eval over all levels. All group arrays are padded to a
-    multiple of cfg.group_block groups."""
+    multiple of cfg.group_block groups.
+
+    Levels whose (frontier width, table capacity) are constant — everything
+    from ~log8(n) down to depth-1 — run under ONE lax.scan body instead of
+    being unrolled, which is what keeps XLA compile times sane (the unrolled
+    form compiled for 24+ minutes at depth 13)."""
     ng, G, _ = gtargets.shape
     dtype = gtargets.dtype
     GB = min(cfg.group_block, ng)
@@ -337,6 +476,7 @@ def _fused_eval(ftree: FusedTree, gtargets, geps, glo, ghi, oac, gvalid,
     xc = jnp.where(gvalid[..., None], xc, 0.0)
 
     ws = _w_schedule(cfg, depth, n_real, theta, use_relative)
+    caps = [min(8 ** l, n_real) for l in range(depth + 1)]
     l0 = cfg.start_level
     W0 = ws[l0]
 
@@ -344,139 +484,117 @@ def _fused_eval(ftree: FusedTree, gtargets, geps, glo, ghi, oac, gvalid,
     pot = jnp.zeros((ng, G), dtype)
     ovf = jnp.zeros(2, jnp.int32)          # open, big overflows
     n_seg_total = jnp.zeros((), jnp.int32)
+    lvl_max_open = []
 
-    # block views (NB, GB, ...)
     def blk(x):
         return x.reshape((NB, GB) + x.shape[1:])
 
     xc_b, te_b, xr_b = blk(xc), blk(geps), blk(gtargets)
     glo_b, ghi_b, oac_b, gc_b = blk(glo), blk(ghi), blk(oac), blk(gc)
 
-    # initial frontier: all start-level cells, every group
+    # initial frontier: all start-level cells, every group. live_w is the
+    # per-BLOCK frontier bound: one saturated group must not force every
+    # block through the full cap (Morton order clusters the dense core
+    # into few blocks, so per-block bounds are tight).
     fids = jnp.tile(jnp.arange(W0, dtype=jnp.int32)[None, :], (ng, 1))
-    live_w = jnp.int32(W0)
+    live_w = jnp.full((NB,), W0, jnp.int32)
 
-    for l in range(l0, depth + 1):
+    # run [l_scan, depth-1] under ONE lax.scan body: widths are uniform
+    # from l0+2 (see _w_schedule) and level tables are zero-padded to a
+    # common capacity below
+    l_scan = depth
+    while (l_scan - 1 >= l0
+           and ws[l_scan - 1] == ws[depth - 1]
+           and (l_scan - 1 == depth - 1
+                or ws[l_scan] == ws[depth - 1])):
+        l_scan -= 1
+    if depth - l_scan < 2:
+        l_scan = depth  # too short to be worth a scan; unroll all
+
+    common = dict(xc_b=xc_b, te_b=te_b, xr_b=xr_b, glo_b=glo_b,
+                  ghi_b=ghi_b, oac_b=oac_b, gc_b=gc_b,
+                  part16=ftree.part16, theta2=theta2,
+                  use_relative=use_relative, cfg=cfg, need_pot=need_pot,
+                  NB=NB, GB=GB, ng=ng, G=G, dtype=dtype)
+
+    for l in range(l0, min(l_scan, depth)):
         W = ws[l]
-        WC = min(cfg.wc, W)
-        NCH = W // WC if W % WC == 0 else W // WC + 1
-        tbl = ftree.levels[l]
-        s_l = extent / (1 << l)
-        last = l == depth
+        acc, pot, n_seg_total, openk, _ = _level_pass(
+            fids, live_w, acc, pot, n_seg_total, ftree.levels[l],
+            extent / (1 << l), ftree.n_levels[l],
+            W=W, WC=min(cfg.wc, W), last=False, **common)
+        fids, live_w, ovf, mo = _expand_open(
+            openk, ovf, Wn=ws[l + 1], cfg=cfg, NB=NB, GB=GB, ng=ng)
+        lvl_max_open.append(mo)
 
-        nl_real = ftree.n_levels[l]
+    if l_scan < depth:
+        W = ws[l_scan]
+        cap_s = max(ftree.levels[l].shape[0] for l in range(l_scan, depth))
+        tbls = jnp.stack([
+            jnp.concatenate([
+                t, jnp.zeros((cap_s - t.shape[0], 16), dtype)])
+            if t.shape[0] < cap_s else t
+            for t in (ftree.levels[l] for l in range(l_scan, depth))])
+        sls = jnp.stack([jnp.asarray(extent / (1 << l), dtype)
+                         for l in range(l_scan, depth)])
+        nls = jnp.stack([jnp.asarray(ftree.n_levels[l], jnp.int32)
+                         for l in range(l_scan, depth)])
 
-        def block_body(args, tbl=tbl, s_l=s_l, last=last, W=W, WC=WC,
-                       NCH=NCH, live_w=live_w, nl_real=nl_real):
-            fids_b, xcb, teb, glob, ghib, oacb, gcb = args
-            accb = jnp.zeros((GB, G, 3), dtype)
-            potb = jnp.zeros((GB, G), dtype)
-            segk = jnp.full((GB, W), IMAX, jnp.int32)
-            openk = jnp.full((GB, W), IMAX, jnp.int32)
-            bigk = jnp.full((GB, W), IMAX, jnp.int32)
+        def scan_body(carry, xs):
+            fids, live_w, acc, pot, ovf, n_seg_total = carry
+            tbl, s_l, nl_real = xs
+            acc, pot, n_seg_total, openk, _ = _level_pass(
+                fids, live_w, acc, pot, n_seg_total, tbl, s_l, nl_real,
+                W=W, WC=min(cfg.wc, W), last=False, **common)
+            fids, live_w, ovf, mo = _expand_open(
+                openk, ovf, Wn=W, cfg=cfg, NB=NB, GB=GB, ng=ng)
+            return (fids, live_w, acc, pot, ovf, n_seg_total), mo
 
-            def chunk(state):
-                ci, accb, potb, segk, openk, bigk = state
-                c0 = ci * WC
-                ids = lax.dynamic_slice(fids_b, (jnp.int32(0), c0), (GB, WC))
-                # ids beyond the level's REAL node count alias real rows
-                # after clipping (the initial arange frontier can exceed it
-                # at small n) — treat them as dead, not just negatives
-                dead = (ids < 0) | (ids >= nl_real)
-                rows = tbl[jnp.clip(ids, 0, tbl.shape[0] - 1)]
-                rows = jnp.where(dead[..., None], 0.0, rows)
-                far, seg, opn, big = _classify(
-                    rows, glob, ghib, oacb, s_l, theta2, use_relative,
-                    cfg.leaf_cap, last)
-                rows_far = rows.at[..., _MASS].set(
-                    jnp.where(far, rows[..., _MASS], 0.0))
-                da, dp = _far_tile(rows_far, xcb, teb, gcb)
-                accb = accb + da
-                potb = potb + dp
+        carry = (fids, live_w, acc, pot, ovf, n_seg_total)
+        carry, mos = lax.scan(scan_body, carry, (tbls, sls, nls))
+        fids, live_w, acc, pot, ovf, n_seg_total = carry
+        lvl_max_open.append(jnp.max(mos))
 
-                starts = rows[..., _NSTART].astype(jnp.int32)
-                cnts = rows[..., _CNT].astype(jnp.int32)
-                sk = jnp.where(seg, starts * 32 + jnp.minimum(cnts, 31),
-                               IMAX)
-                segk = lax.dynamic_update_slice(segk, sk, (jnp.int32(0), c0))
-                cs = rows[..., _CSTART].astype(jnp.int32)
-                cc = rows[..., _CCNT].astype(jnp.int32)
-                okk = jnp.where(opn, cs * 16 + cc, IMAX)
-                openk = lax.dynamic_update_slice(openk, okk, (jnp.int32(0), c0))
-                if last:
-                    bk = jnp.where(big, ids, IMAX)  # keep node id for big
-                    bigk = lax.dynamic_update_slice(bigk, bk, (jnp.int32(0), c0))
-                return ci + 1, accb, potb, segk, openk, bigk
+    # last level, with the overfull-cell (big) path
+    W = ws[depth]
+    tbl = ftree.levels[depth]
+    acc, pot, n_seg_total, _, bigk = _level_pass(
+        fids, live_w, acc, pot, n_seg_total, tbl,
+        extent / (1 << depth), ftree.n_levels[depth],
+        W=W, WC=min(cfg.wc, W), last=True, **common)
 
-            def cond(state):
-                return state[0] * WC < jnp.minimum(live_w, W)
+    # overfull deepest cells -> 16-particle chunks, same near pass
+    border = jnp.argsort(bigk, axis=1)
+    bid = jnp.take_along_axis(bigk, border[:, :cfg.big_cap], axis=1)
+    bval = bid != IMAX
+    brow = tbl[jnp.clip(bid, 0, tbl.shape[0] - 1)]
+    bstart = brow[..., _NSTART].astype(jnp.int32)
+    bcnt = jnp.where(bval, brow[..., _CNT].astype(jnp.int32), 0)
+    k16 = jnp.arange(cfg.big_chunks, dtype=jnp.int32) * 16
+    cst = bstart[:, :, None] + k16[None, None, :]
+    ccn = jnp.clip(bcnt[:, :, None] - k16[None, None, :], 0, 16)
+    bkey = jnp.where(ccn > 0, cst * 32 + ccn,
+                     IMAX).reshape(ng, cfg.big_cap * cfg.big_chunks)
+    bkey = jnp.sort(bkey, axis=1)
+    n_bk = jnp.sum((bkey != IMAX).astype(jnp.int32), axis=1)
+    n_seg_total = n_seg_total + jnp.sum(n_bk)
+    if not cfg.skip_near:
+        acc, pot = _near_level(
+            acc, pot, bkey, jnp.max(n_bk.reshape(NB, GB), axis=1),
+            ftree.part16, xr_b, te_b, cfg, NB, GB, need_pot)
+    n_big = jnp.sum((bigk != IMAX).astype(jnp.int32), axis=1)
+    ovf = ovf.at[1].add(
+        jnp.sum(jnp.maximum(n_big - cfg.big_cap, 0))
+        + jnp.sum(jnp.maximum(bcnt - 16 * cfg.big_chunks, 0)))
 
-            _, accb, potb, segk, openk, bigk = lax.while_loop(
-                cond, chunk, (jnp.int32(0), accb, potb, segk, openk, bigk))
-            return accb, potb, segk, openk, bigk
-
-        outs = lax.map(block_body, (blk(fids), xc_b, te_b, glo_b, ghi_b,
-                                    oac_b, gc_b))
-        accb, potb, segk, openk, bigk = outs
-        acc = acc + accb.reshape(ng, G, 3)
-        pot = pot + potb.reshape(ng, G)
-        segk = segk.reshape(ng, W)
-        openk = openk.reshape(ng, W)
-
-        # near field of this level's leaf segments, evaluated immediately
-        # from the sorted key plane (no drops: W itself bounds the width)
-        seg_sorted = jnp.sort(segk, axis=1)
-        n_seg = jnp.sum((segk != IMAX).astype(jnp.int32), axis=1)
-        n_seg_total = n_seg_total + jnp.sum(n_seg)
-        acc, pot = _near_level(acc, pot, seg_sorted, jnp.max(n_seg),
-                               ftree.part16, xr_b, te_b, cfg, NB, GB)
-
-        if last:
-            # overfull deepest cells -> 16-particle chunks, same near pass
-            bigk = bigk.reshape(ng, W)
-            border = jnp.argsort(bigk, axis=1)
-            bid = jnp.take_along_axis(bigk, border[:, :cfg.big_cap], axis=1)
-            bval = bid != IMAX
-            brow = tbl[jnp.clip(bid, 0, tbl.shape[0] - 1)]
-            bstart = brow[..., _NSTART].astype(jnp.int32)
-            bcnt = jnp.where(bval, brow[..., _CNT].astype(jnp.int32), 0)
-            k16 = jnp.arange(cfg.big_chunks, dtype=jnp.int32) * 16
-            cst = bstart[:, :, None] + k16[None, None, :]
-            ccn = jnp.clip(bcnt[:, :, None] - k16[None, None, :], 0, 16)
-            bkey = jnp.where(ccn > 0, cst * 32 + ccn,
-                             IMAX).reshape(ng, cfg.big_cap * cfg.big_chunks)
-            bkey = jnp.sort(bkey, axis=1)
-            n_bk = jnp.sum((bkey != IMAX).astype(jnp.int32), axis=1)
-            n_seg_total = n_seg_total + jnp.sum(n_bk)
-            acc, pot = _near_level(acc, pot, bkey, jnp.max(n_bk),
-                                   ftree.part16, xr_b, te_b, cfg, NB, GB)
-            n_big = jnp.sum((bigk != IMAX).astype(jnp.int32), axis=1)
-            ovf = ovf.at[1].add(
-                jnp.sum(jnp.maximum(n_big - cfg.big_cap, 0))
-                + jnp.sum(jnp.maximum(bcnt - 16 * cfg.big_chunks, 0)))
-            break
-
-        # expand open slots
-        Wn = ws[l + 1]
-        O = Wn // 8
-        open_sorted = jnp.sort(openk, axis=1)[:, :O]
-        n_open = jnp.sum((openk != IMAX).astype(jnp.int32), axis=1)
-        ovf = ovf.at[0].add(jnp.sum(jnp.maximum(n_open - O, 0)))
-        oval = open_sorted != IMAX
-        cs = jnp.where(oval, open_sorted >> 4, 0)
-        cc = jnp.where(oval, open_sorted & 15, 0)
-        k = jnp.arange(8, dtype=jnp.int32)
-        fids = jnp.where(k[None, None, :] < cc[:, :, None],
-                         cs[:, :, None] + k[None, None, :],
-                         -1).reshape(ng, Wn)
-        live_w = jnp.minimum(8 * jnp.max(n_open), jnp.int32(Wn))
-
-    info = dict(ovf_open=ovf[0], ovf_big=ovf[1], n_segs=n_seg_total)
+    info = dict(ovf_open=ovf[0], ovf_big=ovf[1], n_segs=n_seg_total,
+                max_open=jnp.stack(lvl_max_open) if lvl_max_open
+                else jnp.zeros(1, jnp.int32))
     return acc, pot, info
 
 
 def _near_level(acc, pot, seg_sorted, max_live, part16, xr_b, te_b,
-                cfg: FusedConfig, NB: int, GB: int):
+                cfg: FusedConfig, NB: int, GB: int, need_pot: bool = True):
     """Near-field pass over one level's sorted (ng, W) segment-key plane."""
     ng, W = seg_sorted.shape
     G = xr_b.shape[2]
@@ -484,37 +602,42 @@ def _near_level(acc, pot, seg_sorted, max_live, part16, xr_b, te_b,
     SC = min(cfg.sc, W)
 
     def near_block(args):
-        ent_b, xrb, teb = args
+        ent_b, xrb, teb, max_b = args
         accb = jnp.zeros((GB, G, 3), dtype)
         potb = jnp.zeros((GB, G), dtype)
 
         def chunk(state):
             ci, accb, potb = state
             e = lax.dynamic_slice(ent_b, (jnp.int32(0), ci * SC), (GB, SC))
-            da, dp = _near_tile(e, part16, xrb, teb)
+            da, dp = _near_tile(e, part16, xrb, teb, need_pot)
             return ci + 1, accb + da, potb + dp
 
         def cond(state):
-            return state[0] * SC < max_live
+            return state[0] * SC < max_b
 
         _, accb, potb = lax.while_loop(cond, chunk,
                                        (jnp.int32(0), accb, potb))
         return accb, potb
 
     ent = seg_sorted.reshape(NB, GB, W)
-    acc_n, pot_n = lax.map(near_block, (ent, xr_b, te_b))
+    acc_n, pot_n = lax.map(near_block, (ent, xr_b, te_b, max_live))
     return acc + acc_n.reshape(ng, G, 3), pot + pot_n.reshape(ng, G)
 
 
 def fused_gravity(pos, mass, eps, old_acc, *, theta=0.5, opening=1,
-                  err_tol_force_acc=0.005, depth: int = 10,
+                  err_tol_force_acc=0.005, depth: Optional[int] = None,
                   config: Optional[FusedConfig] = None,
-                  return_info: bool = False):
+                  return_info: bool = False, need_pot: bool = True):
     """Raw acceleration and potential (no G factor) for all particles.
 
     Drop-in for treeforce.tree_gravity on non-periodic runs."""
     cfg = config or FusedConfig()
     n = pos.shape[0]
+    if depth is None:
+        # deep enough that the densest cells fit the big path (measured:
+        # NFW 1e6 peaks at 1254/cell at depth 10, 108 at 12, <32 at 13);
+        # shallow for small n to keep the unrolled level loop short
+        depth = 10 if n <= (1 << 18) else 13
     if n > (1 << 24):
         raise ValueError("fused engine packs indices as exact f32; "
                          "N per shard must be <= 2^24")
@@ -523,21 +646,46 @@ def fused_gravity(pos, mass, eps, old_acc, *, theta=0.5, opening=1,
     ftree = pack_tree(tree)
 
     G = cfg.group_size
-    ng = -(-n // G)
-    GB = min(cfg.group_block, max(ng, 1))
-    ngp = -(-ng // GB) * GB
-    npad = ngp * G
+    # adapt the break level to n: the static group bound pays 8^L padded
+    # groups, so L beyond ~log8(n/G) costs more in dead groups than it
+    # saves in bbox tightness
+    import math
+    L = max(0, min(cfg.break_level, depth,
+                   int(math.log(max(n // G, 1), 8) + 1e-9)))
+    # Group segmentation: fixed-size Morton windows RESTARTED at level-L
+    # cell boundaries. Plain windows can span Morton-curve jumps (measured
+    # bbox diag up to 2330 on NFW 1e6 vs 239 with L=4 breaking at ~equal
+    # group count) — huge-bbox groups open half the tree, saturating the
+    # frontier caps and dominating the walk cost.
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # keys_s is the LEVEL-10 hi word regardless of tree depth
+    prefL = tree.keys_s >> jnp.uint32(3 * (min(depth, 10) - L))
+    newcell = jnp.concatenate(
+        [jnp.ones(1, bool), prefL[1:] != prefL[:-1]])
+    run_start = lax.cummax(jnp.where(newcell, idx, 0))
+    newgroup = newcell | (((idx - run_start) % G) == 0)
+    gid = jnp.cumsum(newgroup.astype(jnp.int32)) - 1
+    # static bound: ceil(cnt_cell/G) summed over cells <= n/G + #cells
+    NGC0 = -(-n // G) + min(8 ** L, n)
+    GB = min(cfg.group_block, max(NGC0, 1))
+    ngp = -(-NGC0 // GB) * GB
 
-    def padp(x, fill=0.0):
-        return jnp.concatenate(
-            [x, jnp.full((npad - n,) + x.shape[1:], fill, x.dtype)])
+    ones = jnp.ones(n, jnp.int32)
+    gstart = jax.ops.segment_min(idx, gid, num_segments=ngp,
+                                 indices_are_sorted=True)
+    gcount = jax.ops.segment_sum(ones, gid, num_segments=ngp,
+                                 indices_are_sorted=True)
+    gstart = jnp.where(gcount > 0, gstart, 0)
+    slot = jnp.arange(G, dtype=jnp.int32)
+    pidx = jnp.minimum(gstart[:, None] + slot[None, :], n - 1)   # (ngp, G)
+    slotv = slot[None, :] < gcount[:, None]
+    valid_s = valid[tree.perm]
+    gvalid = slotv & valid_s[pidx]
 
     toac = (old_acc[tree.perm] * err_tol_force_acc).astype(pos.dtype)
-    gtargets = padp(tree.pos_s).reshape(ngp, G, 3)
-    geps = padp(tree.eps_s, 1.0).reshape(ngp, G)
-    goac = padp(toac).reshape(ngp, G)
-    gvalid = jnp.concatenate(
-        [valid[tree.perm], jnp.zeros(npad - n, bool)]).reshape(ngp, G)
+    gtargets = tree.pos_s[pidx]
+    geps = jnp.where(gvalid, tree.eps_s[pidx], 1.0)
+    goac = jnp.where(gvalid, toac[pidx], 0.0)
 
     big = jnp.asarray(1e30, pos.dtype)
     glo = jnp.min(jnp.where(gvalid[..., None], gtargets, big), axis=1)
@@ -552,17 +700,23 @@ def fused_gravity(pos, mass, eps, old_acc, *, theta=0.5, opening=1,
 
     acc_g, pot_g, info = _fused_eval(
         ftree, gtargets, geps, glo, ghi, oac, gvalid, tree.extent,
-        float(theta), bool(opening == 1), cfg, depth, int(n))
+        float(theta), bool(opening == 1), cfg, depth, int(n),
+        bool(need_pot))
 
-    acc = acc_g.reshape(npad, 3)[:n]
-    pot = pot_g.reshape(npad)[:n]
+    # scatter slots back to sorted particle order (dump row n for dead
+    # slots; real indices are unique by construction)
+    didx = jnp.where(gvalid, pidx, n).reshape(-1)
+    acc_s = jnp.zeros((n + 1, 3), pos.dtype).at[didx].set(
+        acc_g.reshape(-1, 3))[:n]
+    pot_s = jnp.zeros(n + 1, pos.dtype).at[didx].set(pot_g.reshape(-1))[:n]
     inv = jnp.zeros(n, jnp.int32).at[tree.perm].set(
         jnp.arange(n, dtype=jnp.int32))
-    acc = acc[inv]
-    pot = pot[inv]
+    acc = acc_s[inv]
+    pot = pot_s[inv]
     # remove spline self-potential (potential.c:136)
-    pot = pot + mass / jnp.maximum(eps, 1e-30)
-    pot = jnp.where(valid, pot, 0.0)
+    if need_pot:
+        pot = pot + mass / jnp.maximum(eps, 1e-30)
+        pot = jnp.where(valid, pot, 0.0)
     acc = jnp.where(valid[:, None], acc, 0.0)
     if return_info:
         return acc, pot, info

@@ -40,16 +40,18 @@ from typing import List
 import jax
 import jax.numpy as jnp
 
-from .morton import bounding_cube, cell_of_prefix, morton_keys
+from .morton import (MAX_DEPTH, bounding_cube, cell_of_prefix,
+                     cell_of_prefix2, morton_keys, morton_keys2)
 
 U32 = jnp.uint32
 
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["perm", "pos_s", "mass_s", "eps_s", "part_rows", "mac_rows",
-                 "quad_rows", "node_start", "node_count", "child_start",
-                 "child_count", "n_nodes", "origin", "extent"],
+    data_fields=["perm", "pos_s", "mass_s", "eps_s", "keys_s", "part_rows",
+                 "mac_rows", "quad_rows", "node_start", "node_count",
+                 "child_start", "child_count", "n_nodes", "origin",
+                 "extent"],
     meta_fields=["level_offsets", "depth"],
 )
 @dataclass
@@ -59,6 +61,8 @@ class Octree:
     pos_s: jax.Array         # (N,3)
     mass_s: jax.Array        # (N,)
     eps_s: jax.Array         # (N,)
+    keys_s: jax.Array        # (N,) uint32 sorted level-10 Morton keys
+                             # (hi word; sentinel 0xFFFFFFFF for padding)
     part_rows: jax.Array     # (N,8) f32: pos xyz, mass, eps, 0,0,0 (packed)
     # flat node arrays (levels concatenated; static offsets)
     mac_rows: jax.Array      # (M,8) f32: com xyz, mass, center xyz, count
@@ -93,10 +97,19 @@ def build_octree(pos, mass, eps, valid, *, box=0.0, depth: int = 10,
     dtype = dtype or pos.dtype
     n = pos.shape[0]
     origin, extent = bounding_cube(pos, valid, box=box)
-    keys = morton_keys(pos, origin, extent, depth)
-    keys = jnp.where(valid, keys, U32(0xFFFFFFFF))
-    perm = jnp.argsort(keys)
-    keys_s = keys[perm]
+    # two-word keys: hi = levels 1..10, lo = deeper bits (TPU jax silently
+    # truncates 64-bit ints without x64 mode, so no single uint64 key)
+    hi, lo = morton_keys2(pos, origin, extent, depth)
+    hi = jnp.where(valid, hi, U32(0xFFFFFFFF))
+    lo = jnp.where(valid, lo, U32(0xFFFFFFFF))
+    d_hi = min(depth, MAX_DEPTH)
+    if depth > d_hi:
+        p1 = jnp.argsort(lo, stable=True)
+        perm = p1[jnp.argsort(hi[p1], stable=True)]
+    else:
+        perm = jnp.argsort(hi)
+    keys_s = hi[perm]
+    lo_s = lo[perm]
     pos_s = pos[perm]
     mass_s = jnp.where(valid[perm], mass[perm], 0.0)
     eps_s = eps[perm]
@@ -129,11 +142,14 @@ def build_octree(pos, mass, eps, valid, *, box=0.0, depth: int = 10,
         valid_s.astype(dtype)], axis=1)                      # (N, 11)
 
     for l in range(depth + 1):
-        shift = U32(3 * (depth - l))
-        pref = keys_s >> shift
+        if l <= d_hi:
+            pref = keys_s >> U32(3 * (d_hi - l))
+            bnd = pref[1:] != pref[:-1]
+        else:
+            pref = lo_s >> U32(3 * (depth - l))
+            bnd = (keys_s[1:] != keys_s[:-1]) | (pref[1:] != pref[:-1])
         boundary = jnp.concatenate([
-            jnp.ones(1, jnp.int32),
-            (pref[1:] != pref[:-1]).astype(jnp.int32)])
+            jnp.ones(1, jnp.int32), bnd.astype(jnp.int32)])
         seg = jnp.cumsum(boundary) - 1
         seg_list.append(seg)
         cap = caps[l]
@@ -162,7 +178,12 @@ def build_octree(pos, mass, eps, valid, *, box=0.0, depth: int = 10,
         emax = jax.ops.segment_max(jnp.where(valid_s, eps_s, 0.0), segc,
                                    num_segments=cap, indices_are_sorted=True)
         s_l = extent / (1 << l)
-        ix, iy, iz = cell_of_prefix(npref, l, depth)
+        if l <= d_hi:
+            ix, iy, iz = cell_of_prefix(npref, l, d_hi)
+        else:
+            nhip = jax.ops.segment_min(keys_s, segc, num_segments=cap,
+                                       indices_are_sorted=True)
+            ix, iy, iz = cell_of_prefix2(nhip, npref, l, depth)
         center = origin + (jnp.stack([ix, iy, iz], -1).astype(dtype) + 0.5) * s_l
         com = jnp.where((cnt > 0)[:, None], com, center)
 
@@ -211,7 +232,7 @@ def build_octree(pos, mass, eps, valid, *, box=0.0, depth: int = 10,
 
     return Octree(
         perm=perm.astype(jnp.int32), pos_s=pos_s, mass_s=mass_s, eps_s=eps_s,
-        part_rows=part_rows,
+        keys_s=keys_s, part_rows=part_rows,
         mac_rows=mac_rows, quad_rows=quad_rows,
         node_start=node_start, node_count=node_count,
         child_start=child_start, child_count=child_count,

@@ -198,14 +198,18 @@ class Simulation:
             # minimum-image, which stay on the legacy flat-pair engine)
             from .ops.fused_force import fused_gravity
 
-            def force(pos_pred, p, soft_tab):
+            def force(pos_pred, p, soft_tab, need_pot=False):
+                # the step only consumes acc; potential is recomputed at
+                # statistics cadence via compute_potential (potential.c
+                # semantics) — skipping it here halves the pair math
                 eps = soft_tab[jnp.clip(p.ptype, 0, 5)]
                 return fused_gravity(
                     pos_pred, jnp.where(p.valid, p.mass, 0.0), eps,
                     p.old_acc,
                     theta=self.cfg.ErrTolTheta,
                     opening=self.cfg.TypeOfOpeningCriterion,
-                    err_tol_force_acc=self.cfg.ErrTolForceAcc)
+                    err_tol_force_acc=self.cfg.ErrTolForceAcc,
+                    need_pot=need_pot)
         else:
             from .ops.treeforce import tree_gravity
 
@@ -651,7 +655,10 @@ class Simulation:
         pos_pred, _ = integrate.predict_positions(p, t, self.consts)
         force_fn = self._make_force_fn()
         soft = jnp.asarray(softening_table(self.cfg, self.time), self.dtype)
-        _, pot = force_fn(pos_pred, p, soft)
+        try:
+            _, pot = force_fn(pos_pred, p, soft, need_pot=True)
+        except TypeError:
+            _, pot = force_fn(pos_pred, p, soft)
         G, H = self.units.G, self.units.Hubble
         if self.cfg.ComovingIntegrationOn:
             if self.cfg.PeriodicBoundariesOn:

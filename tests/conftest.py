@@ -18,3 +18,19 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+_TEST_COUNT = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _periodic_cache_clear():
+    """The XLA CPU compiler segfaults after ~90 accumulated compilations in
+    one process (reproduced twice at the same suite position, never
+    standalone). Dropping the jit caches every 25 tests keeps the compiler
+    state bounded at the cost of a few recompiles."""
+    yield
+    _TEST_COUNT["n"] += 1
+    if _TEST_COUNT["n"] % 25 == 0:
+        jax.clear_caches()
