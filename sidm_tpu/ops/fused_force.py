@@ -624,42 +624,29 @@ def _near_level(acc, pot, seg_sorted, max_live, part16, xr_b, te_b,
     return acc + acc_n.reshape(ng, G, 3), pot + pot_n.reshape(ng, G)
 
 
-def fused_gravity(pos, mass, eps, old_acc, *, theta=0.5, opening=1,
-                  err_tol_force_acc=0.005, depth: Optional[int] = None,
-                  config: Optional[FusedConfig] = None,
-                  return_info: bool = False, need_pot: bool = True):
-    """Raw acceleration and potential (no G factor) for all particles.
+def default_depth(n: int) -> int:
+    """Deep enough that the densest cells fit the big path (measured: NFW
+    1e6 peaks at 1254/cell at depth 10, 108 at 12, <32 at 13); shallow for
+    small n to keep the level loop short."""
+    return 10 if n <= (1 << 18) else 13
 
-    Drop-in for treeforce.tree_gravity on non-periodic runs."""
-    cfg = config or FusedConfig()
-    n = pos.shape[0]
-    if depth is None:
-        # deep enough that the densest cells fit the big path (measured:
-        # NFW 1e6 peaks at 1254/cell at depth 10, 108 at 12, <32 at 13);
-        # shallow for small n to keep the unrolled level loop short
-        depth = 10 if n <= (1 << 18) else 13
-    if n > (1 << 24):
-        raise ValueError("fused engine packs indices as exact f32; "
-                         "N per shard must be <= 2^24")
-    valid = mass > 0
-    tree = build_octree(pos, mass, eps, valid, box=0.0, depth=depth)
-    ftree = pack_tree(tree)
 
-    G = cfg.group_size
-    # adapt the break level to n: the static group bound pays 8^L padded
-    # groups, so L beyond ~log8(n/G) costs more in dead groups than it
-    # saves in bbox tightness
+def make_windows(keys_s, valid_s, n: int, G: int, depth: int,
+                 break_level: int, group_block: int):
+    """Morton target windows RESTARTED at level-L cell boundaries.
+
+    Plain fixed windows can span Morton-curve jumps (measured bbox diag up
+    to 2330 on NFW 1e6 vs 239 with L=4 breaking at ~equal group count) —
+    huge-bbox groups open half the tree. Returns (pidx (ngp,G) sorted
+    particle index per slot, gvalid, ngp, GB, NB). The break level adapts
+    to n: the static group bound pays 8^L padded groups.
+    """
     import math
-    L = max(0, min(cfg.break_level, depth,
+    L = max(0, min(break_level, depth,
                    int(math.log(max(n // G, 1), 8) + 1e-9)))
-    # Group segmentation: fixed-size Morton windows RESTARTED at level-L
-    # cell boundaries. Plain windows can span Morton-curve jumps (measured
-    # bbox diag up to 2330 on NFW 1e6 vs 239 with L=4 breaking at ~equal
-    # group count) — huge-bbox groups open half the tree, saturating the
-    # frontier caps and dominating the walk cost.
     idx = jnp.arange(n, dtype=jnp.int32)
     # keys_s is the LEVEL-10 hi word regardless of tree depth
-    prefL = tree.keys_s >> jnp.uint32(3 * (min(depth, 10) - L))
+    prefL = keys_s >> jnp.uint32(3 * (min(depth, 10) - L))
     newcell = jnp.concatenate(
         [jnp.ones(1, bool), prefL[1:] != prefL[:-1]])
     run_start = lax.cummax(jnp.where(newcell, idx, 0))
@@ -667,27 +654,47 @@ def fused_gravity(pos, mass, eps, old_acc, *, theta=0.5, opening=1,
     gid = jnp.cumsum(newgroup.astype(jnp.int32)) - 1
     # static bound: ceil(cnt_cell/G) summed over cells <= n/G + #cells
     NGC0 = -(-n // G) + min(8 ** L, n)
-    GB = min(cfg.group_block, max(NGC0, 1))
+    GB = min(group_block, max(NGC0, 1))
     ngp = -(-NGC0 // GB) * GB
+    NB = ngp // GB
 
-    ones = jnp.ones(n, jnp.int32)
     gstart = jax.ops.segment_min(idx, gid, num_segments=ngp,
                                  indices_are_sorted=True)
-    gcount = jax.ops.segment_sum(ones, gid, num_segments=ngp,
-                                 indices_are_sorted=True)
+    gcount = jax.ops.segment_sum(jnp.ones(n, jnp.int32), gid,
+                                 num_segments=ngp, indices_are_sorted=True)
     gstart = jnp.where(gcount > 0, gstart, 0)
     slot = jnp.arange(G, dtype=jnp.int32)
     pidx = jnp.minimum(gstart[:, None] + slot[None, :], n - 1)   # (ngp, G)
-    slotv = slot[None, :] < gcount[:, None]
-    valid_s = valid[tree.perm]
-    gvalid = slotv & valid_s[pidx]
+    gvalid = (slot[None, :] < gcount[:, None]) & valid_s[pidx]
+    return pidx, gvalid, ngp, GB, NB
 
-    toac = (old_acc[tree.perm] * err_tol_force_acc).astype(pos.dtype)
+
+def fused_gravity_tree(tree, mass, eps, old_acc, *, theta=0.5, opening=1,
+                       err_tol_force_acc=0.005,
+                       config: Optional[FusedConfig] = None,
+                       return_info: bool = False, need_pot: bool = True):
+    """Fused walk/eval on a PREBUILT octree (so the simulation step can
+    share one tree between gravity and the SIDM range walk). mass/eps/
+    old_acc are in ORIGINAL particle order; returns (acc, pot[, info]) in
+    original order."""
+    cfg = config or FusedConfig()
+    n = tree.pos_s.shape[0]
+    depth = tree.depth
+    valid = mass > 0
+
+    ftree = pack_tree(tree)
+    G = cfg.group_size
+    pidx, gvalid, ngp, GB, NB = make_windows(
+        tree.keys_s, valid[tree.perm], n, G, depth, cfg.break_level,
+        cfg.group_block)
+
+    dtype = tree.pos_s.dtype
+    toac = (old_acc[tree.perm] * err_tol_force_acc).astype(dtype)
     gtargets = tree.pos_s[pidx]
     geps = jnp.where(gvalid, tree.eps_s[pidx], 1.0)
     goac = jnp.where(gvalid, toac[pidx], 0.0)
 
-    big = jnp.asarray(1e30, pos.dtype)
+    big = jnp.asarray(1e30, dtype)
     glo = jnp.min(jnp.where(gvalid[..., None], gtargets, big), axis=1)
     ghi = jnp.max(jnp.where(gvalid[..., None], gtargets, -big), axis=1)
     any_v = jnp.any(gvalid, axis=1)
@@ -706,9 +713,9 @@ def fused_gravity(pos, mass, eps, old_acc, *, theta=0.5, opening=1,
     # scatter slots back to sorted particle order (dump row n for dead
     # slots; real indices are unique by construction)
     didx = jnp.where(gvalid, pidx, n).reshape(-1)
-    acc_s = jnp.zeros((n + 1, 3), pos.dtype).at[didx].set(
+    acc_s = jnp.zeros((n + 1, 3), dtype).at[didx].set(
         acc_g.reshape(-1, 3))[:n]
-    pot_s = jnp.zeros(n + 1, pos.dtype).at[didx].set(pot_g.reshape(-1))[:n]
+    pot_s = jnp.zeros(n + 1, dtype).at[didx].set(pot_g.reshape(-1))[:n]
     inv = jnp.zeros(n, jnp.int32).at[tree.perm].set(
         jnp.arange(n, dtype=jnp.int32))
     acc = acc_s[inv]
@@ -721,3 +728,24 @@ def fused_gravity(pos, mass, eps, old_acc, *, theta=0.5, opening=1,
     if return_info:
         return acc, pot, info
     return acc, pot
+
+
+def fused_gravity(pos, mass, eps, old_acc, *, theta=0.5, opening=1,
+                  err_tol_force_acc=0.005, depth: Optional[int] = None,
+                  config: Optional[FusedConfig] = None,
+                  return_info: bool = False, need_pot: bool = True):
+    """Raw acceleration and potential (no G factor) for all particles.
+
+    Drop-in for treeforce.tree_gravity on non-periodic runs."""
+    n = pos.shape[0]
+    if depth is None:
+        depth = default_depth(n)
+    if n > (1 << 24):
+        raise ValueError("fused engine packs indices as exact f32; "
+                         "N per shard must be <= 2^24")
+    valid = mass > 0
+    tree = build_octree(pos, mass, eps, valid, box=0.0, depth=depth)
+    return fused_gravity_tree(
+        tree, mass, eps, old_acc, theta=theta, opening=opening,
+        err_tol_force_acc=err_tol_force_acc, config=config,
+        return_info=return_info, need_pot=need_pot)

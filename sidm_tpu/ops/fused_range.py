@@ -1,0 +1,454 @@
+"""Fused frontier range walk + DSMC near pass for SIDM.
+
+Replaces the flat-segment range walk + global-sort scan (ops/sidm_tree.py
+``range_walk``/``_scan_all``) with the force engine's frontier machinery
+(ops/fused_force.py): per-level frontiers of node ids, per-BLOCK live
+widths, child-compacted expansion, and a near pass over 16-particle packed
+rows. Reference semantics: per-target neighbour enumeration within Hsml
+and the kernel-weighted pair probabilities of sidm() (nbody/sidm.c:319-461),
+with the order-free Gumbel-max partner selection of ops/sidm_tree.py.
+
+Structural differences from the gravity walk:
+
+* classification is a RANGE test (cell box within the group's padded bbox)
+  instead of a multipole-acceptance test — cells out of range are DROPPED,
+  there is no far field;
+* the near pass accumulates (P_tot, neighbour count, running (Gumbel key,
+  argmax partner)) per target instead of accelerations. The argmax rides
+  the chunk loop as a running (max, arg) pair, so no second recovery pass
+  is needed;
+* only pre-gated targets (P_max gate, sidm.c:338-346, applied in
+  _tree_sidm_prep) carry a nonzero search radius — groups whose slots are
+  all ungated park their bbox and the frontier dies at the start level.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..kernels import sph_kernel
+from ..sidm_common import sigma_v_product
+from .fused_force import (IMAX, FusedConfig, _expand_open, _w_schedule,
+                          make_windows)
+from .sidm import SidmParams
+from .sidm_tree import _pair_gumbel
+from .tree import Octree, level_offsets
+
+# range node row layout (8-wide)
+_CTR = slice(0, 3)
+_CNT = 3
+_NSTART = 4
+_CSTART = 5
+_CCNT = 6
+
+
+class RangeTree(NamedTuple):
+    levels: tuple          # per level (cap_l, 8) f32 packed node rows
+    rows16: jax.Array      # (ceil(N/16), 128): 16 x [pos3, vel3, m, aux]
+    n_levels: tuple
+
+
+def pack_range_tree(tree: Octree, rows_sorted) -> RangeTree:
+    """Per-level 8-wide node rows (geometric center instead of moments)
+    and the 16-particle packing of the SIDM particle rows
+    [pos3, vel3, mass, aux] in Morton order."""
+    n = tree.pos_s.shape[0]
+    depth = tree.depth
+    offs = level_offsets(n, depth)
+    dtype = tree.pos_s.dtype
+
+    levels = []
+    for l in range(depth + 1):
+        sl = slice(offs[l], offs[l + 1])
+        mac = tree.mac_rows[sl]
+        child_local = tree.child_start[sl] - (offs[l + 1] if l < depth else 0)
+        row = jnp.concatenate([
+            mac[:, 4:7],                                  # geometric center
+            mac[:, 7:8],                                  # count
+            tree.node_start[sl, None].astype(dtype),
+            jnp.maximum(child_local, 0)[:, None].astype(dtype),
+            tree.child_count[sl, None].astype(dtype),
+            jnp.zeros((mac.shape[0], 1), dtype),
+        ], axis=1)
+        levels.append(row)
+
+    np16 = -(-n // 16)
+    pr = jnp.zeros((np16 * 16, 8), dtype)
+    pr = pr.at[:n].set(rows_sorted)
+    rows16 = pr.reshape(np16, 128)
+    return RangeTree(levels=tuple(levels), rows16=rows16,
+                     n_levels=tuple(tree.n_nodes))
+
+
+def _range_classify(rows, glo, ghi, pad, s_l, leaf_cap, last_level):
+    """Descend/accept decision: cell box (center +- s_l/2) within ``pad``
+    of the group bbox."""
+    ctr = rows[..., _CTR]
+    cnt = rows[..., _CNT]
+    half = 0.5 * s_l
+    dx = jnp.maximum(jnp.maximum(glo[:, None, :] - ctr, ctr - ghi[:, None, :])
+                     - half, 0.0)
+    d2 = jnp.sum(dx * dx, axis=-1)                        # (GB, WC)
+    inr = d2 <= (pad * pad)[:, None]
+    live = (cnt > 0) & inr
+    is_leaf = cnt <= leaf_cap
+    seg = live & is_leaf
+    deep = live & ~is_leaf
+    if last_level:
+        return seg, jnp.zeros_like(deep), deep
+    return seg, deep, jnp.zeros_like(deep)
+
+
+def _sidm_near_tile(ent, rows16, gt, gv, gh, gdt, gty, gidx, salt, time,
+                    sigma_co, params: SidmParams):
+    """DSMC pair pass of packed segment entries against one group block.
+
+    ent: (GB, SC) packed start*32+cnt (IMAX dead). Per-target returns
+    (dptot (GB,G), dcnt, key (GB,G,S), j_idx (GB,S)) for the caller's
+    running-max combine."""
+    dtype = gt.dtype
+    gb, sc = ent.shape
+    G = gt.shape[1]
+    live = ent != IMAX
+    e = jnp.where(live, ent, 0)
+    start = e >> 5
+    cnt = jnp.where(live, e & 31, 0)
+    row0 = start >> 4
+    off = start & 15
+
+    nrows = rows16.shape[0]
+    rid = jnp.stack([row0, jnp.minimum(row0 + 1, nrows - 1)], axis=-1)
+    g = rows16[rid.reshape(-1)].reshape(gb, sc, 32, 8)
+    slot = jnp.arange(32, dtype=jnp.int32)
+    okw = (slot[None, None, :] >= off[:, :, None]) \
+        & (slot[None, None, :] < (off + cnt)[:, :, None]) \
+        & live[:, :, None]
+
+    S = sc * 32
+    j_idx = ((start >> 4 << 4)[:, :, None]
+             + slot[None, None, :]).reshape(gb, S)        # 16-aligned base
+    okw = okw.reshape(gb, S)
+    sp = g[..., 0:3].reshape(gb, S, 3)
+    sv = g[..., 3:6].reshape(gb, S, 3)
+    sm = g[..., 6].reshape(gb, S)
+    aux = g[..., 7].reshape(gb, S)
+    s_type = jnp.mod(aux, 8.0).astype(jnp.int32)
+    s_pend = aux >= 8.0
+
+    # raw-coordinate pair distances (see fused_force near tile)
+    d0 = gt[:, :, None, 0] - sp[:, None, :, 0]
+    d1 = gt[:, :, None, 1] - sp[:, None, :, 1]
+    d2c = gt[:, :, None, 2] - sp[:, None, :, 2]
+    r = jnp.sqrt(d0 * d0 + d1 * d1 + d2c * d2c)           # (GB, G, S)
+
+    ok = (okw[:, None, :] & (j_idx[:, None, :] != gidx[:, :, None])
+          & (r < gh[:, :, None]) & (~s_pend)[:, None, :]
+          & (s_type[:, None, :] == gty[:, :, None]))
+    h_safe = jnp.maximum(gh, 1e-30)[:, :, None]
+    wk = sph_kernel(r / h_safe) / h_safe**3
+
+    w0 = gv[:, :, None, 0] - sv[:, None, :, 0]
+    w1 = gv[:, :, None, 1] - sv[:, None, :, 1]
+    w2 = gv[:, :, None, 2] - sv[:, None, :, 2]
+    rv = jnp.sqrt(w0 * w0 + w1 * w1 + w2 * w2)
+    sgv = sigma_v_product(rv, time, sigma_co, params.cross_section_type,
+                          params.yukawa_velocity,
+                          params.cross_section_vel_scale,
+                          params.cross_section_pow_law, params.comoving)
+    prob = jnp.where(ok, 0.5 * sm[:, None, :] * wk * sgv
+                     * gdt[:, :, None], 0.0)
+    key = jnp.where(prob > 0,
+                    jnp.log(jnp.maximum(prob, 1e-37)).astype(jnp.float32)
+                    + _pair_gumbel(gidx[:, :, None], j_idx[:, None, :],
+                                   salt),
+                    -jnp.inf)
+    dptot = jnp.sum(prob, axis=-1)
+    dcnt = jnp.sum(ok.astype(jnp.int32), axis=-1)
+    return dptot, dcnt, key, j_idx
+
+
+def _sidm_near_level(state, seg_sorted, max_live, rt: RangeTree, gt_b, gv_b,
+                     gh_b, gdt_b, gty_b, gidx_b, salt, time, sigma_co,
+                     params: SidmParams, cfg: FusedConfig, NB, GB):
+    """Near DSMC pass over one level's sorted (ng, W) segment-key plane."""
+    ptot, ncnt, bestk, bestj = state
+    ng, W = seg_sorted.shape
+    G = gt_b.shape[2]
+    SC = min(cfg.sc, W)
+
+    def near_block(args):
+        ent_b, gtb, gvb, ghb, gdtb, gtyb, gidxb, max_b = args
+        pt = jnp.zeros((GB, G), gt_b.dtype)
+        nc = jnp.zeros((GB, G), jnp.int32)
+        bk = jnp.full((GB, G), -jnp.inf, jnp.float32)
+        bj = jnp.full((GB, G), -1, jnp.int32)
+
+        def chunk(state):
+            ci, pt, nc, bk, bj = state
+            e = lax.dynamic_slice(ent_b, (jnp.int32(0), ci * SC), (GB, SC))
+            dp, dc, key, j_idx = _sidm_near_tile(
+                e, rt.rows16, gtb, gvb, ghb, gdtb, gtyb, gidxb, salt,
+                time, sigma_co, params)
+            km = jnp.max(key, axis=-1)                    # (GB, G)
+            jm = jnp.max(jnp.where(key == km[..., None],
+                                   j_idx[:, None, :], -1), axis=-1)
+            upd = km > bk
+            bk = jnp.where(upd, km, bk)
+            bj = jnp.where(upd, jm, bj)
+            return ci + 1, pt + dp, nc + dc, bk, bj
+
+        def cond(state):
+            return state[0] * SC < max_b
+
+        _, pt, nc, bk, bj = lax.while_loop(
+            cond, chunk, (jnp.int32(0), pt, nc, bk, bj))
+        return pt, nc, bk, bj
+
+    ent = seg_sorted.reshape(NB, GB, W)
+    pt, nc, bk, bj = lax.map(near_block, (ent, gt_b, gv_b, gh_b, gdt_b,
+                                          gty_b, gidx_b, max_live))
+    pt = pt.reshape(ng, G)
+    nc = nc.reshape(ng, G)
+    bk = bk.reshape(ng, G)
+    bj = bj.reshape(ng, G)
+    upd = bk > bestk
+    return (ptot + pt, ncnt + nc, jnp.where(upd, bk, bestk),
+            jnp.where(upd, bj, bestj))
+
+
+def _range_level_pass(fids, live_w, tbl, s_l, nl_real, glo_b, ghi_b, pad_b,
+                      *, W, WC, last, cfg, NB, GB, ng):
+    """One level of the range walk: classify the frontier, emit seg/open
+    (and big at the last level) key planes."""
+
+    def blk(x):
+        return x.reshape((NB, GB) + x.shape[1:])
+
+    def block_body(args):
+        fids_b, glob, ghib, padb, live_b = args
+        segk = jnp.full((GB, W), IMAX, jnp.int32)
+        openk = jnp.full((GB, W), IMAX, jnp.int32)
+        bigk = jnp.full((GB, W), IMAX, jnp.int32)
+
+        def chunk(state):
+            ci, segk, openk, bigk = state
+            c0 = ci * WC
+            ids = lax.dynamic_slice(fids_b, (jnp.int32(0), c0), (GB, WC))
+            dead = (ids < 0) | (ids >= nl_real)
+            rows = tbl[jnp.clip(ids, 0, tbl.shape[0] - 1)]
+            rows = jnp.where(dead[..., None], 0.0, rows)
+            seg, opn, big = _range_classify(rows, glob, ghib, padb, s_l,
+                                            cfg.leaf_cap, last)
+            starts = rows[..., _NSTART].astype(jnp.int32)
+            cnts = rows[..., _CNT].astype(jnp.int32)
+            sk = jnp.where(seg, starts * 32 + jnp.minimum(cnts, 31), IMAX)
+            segk = lax.dynamic_update_slice(segk, sk, (jnp.int32(0), c0))
+            cs = rows[..., _CSTART].astype(jnp.int32)
+            cc = rows[..., _CCNT].astype(jnp.int32)
+            okk = jnp.where(opn, cs * 16 + cc, IMAX)
+            openk = lax.dynamic_update_slice(openk, okk, (jnp.int32(0), c0))
+            if last:
+                bk = jnp.where(big, ids, IMAX)
+                bigk = lax.dynamic_update_slice(bigk, bk,
+                                                (jnp.int32(0), c0))
+            return ci + 1, segk, openk, bigk
+
+        def cond(state):
+            return state[0] * WC < jnp.minimum(live_b, W)
+
+        _, segk, openk, bigk = lax.while_loop(
+            cond, chunk, (jnp.int32(0), segk, openk, bigk))
+        return segk, openk, bigk
+
+    segk, openk, bigk = lax.map(
+        block_body, (blk(fids), glo_b, ghi_b, pad_b, live_w))
+    return (segk.reshape(ng, W), openk.reshape(ng, W),
+            bigk.reshape(ng, W))
+
+
+@partial(jax.jit, static_argnames=("cfg", "depth", "n_real", "params"))
+def _range_eval(rt: RangeTree, gt, gv, gh, gdt, gty, gidx, glo, ghi, pad,
+                extent, origin, salt, time, sigma_co, cfg: FusedConfig,
+                depth: int, n_real: int, params: SidmParams):
+    """Range walk + DSMC near pass over all levels (scan-consolidated like
+    fused_force._fused_eval). Returns per-slot (ptot, cnt, bestk, bestj)."""
+    ng, G, _ = gt.shape
+    dtype = gt.dtype
+    GB = min(cfg.group_block, ng)
+    NB = ng // GB
+    assert NB * GB == ng
+
+    ws = _w_schedule(cfg, depth, n_real, 0.5, True)
+    l0 = cfg.start_level
+    W0 = ws[l0]
+
+    ptot = jnp.zeros((ng, G), dtype)
+    ncnt = jnp.zeros((ng, G), jnp.int32)
+    bestk = jnp.full((ng, G), -jnp.inf, jnp.float32)
+    bestj = jnp.full((ng, G), -1, jnp.int32)
+    ovf = jnp.zeros(2, jnp.int32)
+
+    def blk(x):
+        return x.reshape((NB, GB) + x.shape[1:])
+
+    gt_b, gv_b, gh_b = blk(gt), blk(gv), blk(gh)
+    gdt_b, gty_b, gidx_b = blk(gdt), blk(gty), blk(gidx)
+    glo_b, ghi_b, pad_b = blk(glo), blk(ghi), blk(pad)
+
+    fids = jnp.tile(jnp.arange(W0, dtype=jnp.int32)[None, :], (ng, 1))
+    live_w = jnp.full((NB,), W0, jnp.int32)
+
+    l_scan = depth
+    while (l_scan - 1 >= l0
+           and ws[l_scan - 1] == ws[depth - 1]
+           and (l_scan - 1 == depth - 1 or ws[l_scan] == ws[depth - 1])):
+        l_scan -= 1
+    if depth - l_scan < 2:
+        l_scan = depth
+
+    state = (ptot, ncnt, bestk, bestj)
+
+    def run_level(state, fids, live_w, ovf, tbl, s_l, nl_real, W, last,
+                  Wn):
+        segk, openk, bigk = _range_level_pass(
+            fids, live_w, tbl, s_l, nl_real, glo_b, ghi_b, pad_b,
+            W=W, WC=min(cfg.wc, W), last=last, cfg=cfg, NB=NB, GB=GB,
+            ng=ng)
+        seg_sorted = jnp.sort(segk, axis=1)
+        n_seg = jnp.sum((segk != IMAX).astype(jnp.int32), axis=1)
+        state = _sidm_near_level(
+            state, seg_sorted, jnp.max(n_seg.reshape(NB, GB), axis=1),
+            rt, gt_b, gv_b, gh_b, gdt_b, gty_b, gidx_b, salt, time,
+            sigma_co, params, cfg, NB, GB)
+        if last:
+            return state, None, None, ovf, bigk
+        fids, live_w, ovf, _ = _expand_open(
+            openk, ovf, Wn=Wn, cfg=cfg, NB=NB, GB=GB, ng=ng)
+        return state, fids, live_w, ovf, None
+
+    for l in range(l0, min(l_scan, depth)):
+        state, fids, live_w, ovf, _ = run_level(
+            state, fids, live_w, ovf, rt.levels[l], extent / (1 << l),
+            rt.n_levels[l], ws[l], False, ws[l + 1])
+
+    if l_scan < depth:
+        W = ws[l_scan]
+        cap_s = max(rt.levels[l].shape[0] for l in range(l_scan, depth))
+        tbls = jnp.stack([
+            jnp.concatenate([t, jnp.zeros((cap_s - t.shape[0], 8), dtype)])
+            if t.shape[0] < cap_s else t
+            for t in (rt.levels[l] for l in range(l_scan, depth))])
+        sls = jnp.stack([jnp.asarray(extent / (1 << l), dtype)
+                         for l in range(l_scan, depth)])
+        nls = jnp.stack([jnp.asarray(rt.n_levels[l], jnp.int32)
+                         for l in range(l_scan, depth)])
+
+        def scan_body(carry, xs):
+            state, fids, live_w, ovf = carry
+            tbl, s_l, nl_real = xs
+            state, fids, live_w, ovf, _ = run_level(
+                state, fids, live_w, ovf, tbl, s_l, nl_real, W, False, W)
+            return (state, fids, live_w, ovf), None
+
+        (state, fids, live_w, ovf), _ = lax.scan(
+            scan_body, (state, fids, live_w, ovf), (tbls, sls, nls))
+
+    # last level + overfull-cell chunking
+    W = ws[depth]
+    tbl = rt.levels[depth]
+    state, _, _, ovf, bigk = run_level(
+        state, fids, live_w, ovf, tbl, extent / (1 << depth),
+        rt.n_levels[depth], W, True, W)
+
+    border = jnp.argsort(bigk, axis=1)
+    bid = jnp.take_along_axis(bigk, border[:, :cfg.big_cap], axis=1)
+    bval = bid != IMAX
+    brow = tbl[jnp.clip(bid, 0, tbl.shape[0] - 1)]
+    bstart = brow[..., _NSTART].astype(jnp.int32)
+    bcnt = jnp.where(bval, brow[..., _CNT].astype(jnp.int32), 0)
+    k16 = jnp.arange(cfg.big_chunks, dtype=jnp.int32) * 16
+    cst = bstart[:, :, None] + k16[None, None, :]
+    ccn = jnp.clip(bcnt[:, :, None] - k16[None, None, :], 0, 16)
+    bkey = jnp.where(ccn > 0, cst * 32 + ccn,
+                     IMAX).reshape(ng, cfg.big_cap * cfg.big_chunks)
+    bkey = jnp.sort(bkey, axis=1)
+    n_bk = jnp.sum((bkey != IMAX).astype(jnp.int32), axis=1)
+    state = _sidm_near_level(
+        state, bkey, jnp.max(n_bk.reshape(NB, GB), axis=1),
+        rt, gt_b, gv_b, gh_b, gdt_b, gty_b, gidx_b, salt, time, sigma_co,
+        params, cfg, NB, GB)
+    n_big = jnp.sum((bigk != IMAX).astype(jnp.int32), axis=1)
+    ovf = ovf.at[1].add(
+        jnp.sum(jnp.maximum(n_big - cfg.big_cap, 0))
+        + jnp.sum(jnp.maximum(bcnt - 16 * cfg.big_chunks, 0)))
+
+    ptot, ncnt, bestk, bestj = state
+    return ptot, ncnt, bestk, bestj, ovf
+
+
+def sidm_scatter_fused(p, pos_pred, tree: Octree, time, active, vmax, key,
+                       params: SidmParams, cfg: Optional[FusedConfig] = None,
+                       salt: int = 0):
+    """Fused-frontier DSMC pass: drop-in for sidm_scatter_tree (isolated
+    runs; the periodic box stays on the segment engine for now)."""
+    from .sidm_tree import _tree_sidm_finish, _tree_sidm_prep
+
+    cfg = cfg or FusedConfig(group_block=256)
+    n = pos_pred.shape[0]
+    G = cfg.group_size
+    depth = tree.depth
+
+    rows, hs, dts, typs, sigma_co, scan, h_eff, p_max, rand = \
+        _tree_sidm_prep(p, pos_pred, tree.perm, time, active, vmax, key,
+                        params)
+    rt = pack_range_tree(tree, rows)
+
+    valid_s = p.valid[tree.perm]
+    pidx, gvalid, ngp, GB, NB = make_windows(
+        tree.keys_s, valid_s, n, G, depth, cfg.break_level,
+        cfg.group_block)
+
+    gt = tree.pos_s[pidx]
+    gv = jnp.where(gvalid[..., None], rows[pidx][..., 3:6], 0.0)
+    gh = jnp.where(gvalid, hs[pidx], 0.0)
+    gdt = jnp.where(gvalid, dts[pidx], 0.0)
+    gty = jnp.where(gvalid, typs[pidx], -9).astype(jnp.int32)
+    gidx = jnp.where(gvalid, pidx, -1)
+
+    big = jnp.asarray(1e30, gt.dtype)
+    live_t = gvalid & (gh > 0)
+    glo = jnp.min(jnp.where(live_t[..., None], gt, big), axis=1)
+    ghi = jnp.max(jnp.where(live_t[..., None], gt, -big), axis=1)
+    any_v = jnp.any(live_t, axis=1)
+    far_here = tree.origin + 4.0 * tree.extent
+    glo = jnp.where(any_v[:, None], glo, far_here)
+    ghi = jnp.where(any_v[:, None], ghi, far_here)
+    pad = jnp.max(jnp.where(live_t, gh, 0.0), axis=1)
+
+    ptot, ncnt, bestk, bestj, ovf = _range_eval(
+        rt, gt, gv, gh, gdt, gty, gidx, glo, ghi, pad, tree.extent,
+        tree.origin, jnp.uint32(salt & 0xFFFFFFFF), time, sigma_co, cfg,
+        depth, n, params)
+
+    inv = jnp.zeros(n, jnp.int32).at[tree.perm].set(
+        jnp.arange(n, dtype=jnp.int32))
+
+    def unflat(x, fill):
+        flat_idx = jnp.where(gvalid, pidx, n).reshape(-1)
+        buf = jnp.full((n + 1,), fill, x.dtype)
+        return buf.at[flat_idx].set(x.reshape(-1))[:n]
+
+    out = _tree_sidm_finish(
+        p, pos_pred, tree.perm, inv, unflat(ptot, 0.0),
+        unflat(bestk, -jnp.inf), unflat(ncnt, 0), unflat(bestj, -1),
+        time, active, scan, p_max, rand, vmax, key, params,
+        params.log_events)
+    p2, n_scat, ev = out
+    if params.log_events:
+        return p2, n_scat, ev
+    return p2, n_scat

@@ -352,6 +352,11 @@ class Simulation:
         from .ops.treeforce import WalkConfig, eval_targets
 
         wcfg = WalkConfig()
+        use_fused = (cfg.ForceMethod == "tree" and boxv is None)
+        if use_fused:
+            from .ops.fused_force import (FusedConfig, default_depth,
+                                          fused_gravity_tree)
+            fcfg = FusedConfig(group_block=256)
 
         @partial(jax.jit, static_argnums=())
         def phase_force(p: Particles, vmax):
@@ -361,21 +366,33 @@ class Simulation:
                                                              consts)
             eps = params.softening_table[jnp.clip(p.ptype, 0, 5)]
             mass = jnp.where(p.valid, p.mass, 0.0)
-            tree = build_octree(pos_pred, mass, eps, p.valid,
-                                box=boxv or 0.0)
-            toac = (p.old_acc[tree.perm]
-                    * cfg.ErrTolForceAcc).astype(pos_pred.dtype)
-            raw_acc, pot, _ = eval_targets(
-                tree, tree.pos_s, tree.eps_s, toac, (mass > 0)[tree.perm],
-                box=boxv, theta=cfg.ErrTolTheta,
-                use_relative=(cfg.TypeOfOpeningCriterion == 1),
-                config=wcfg, ewald=ewald, presorted=True)
             n = pos_pred.shape[0]
-            inv = jnp.zeros(n, jnp.int32).at[tree.perm].set(
-                jnp.arange(n, dtype=jnp.int32))
-            raw_acc = jnp.where(p.valid[:, None], raw_acc[inv], 0.0)
-            pot = pot[inv] + mass / jnp.maximum(eps, 1e-30)
-            pot = jnp.where(p.valid, pot, 0.0)
+            if use_fused:
+                # one deep tree shared by gravity and the SIDM range walk
+                tree = build_octree(pos_pred, mass, eps, p.valid,
+                                    box=0.0, depth=default_depth(n))
+                raw_acc, pot = fused_gravity_tree(
+                    tree, mass, eps, p.old_acc,
+                    theta=cfg.ErrTolTheta,
+                    opening=cfg.TypeOfOpeningCriterion,
+                    err_tol_force_acc=cfg.ErrTolForceAcc,
+                    config=fcfg, need_pot=False)
+            else:
+                tree = build_octree(pos_pred, mass, eps, p.valid,
+                                    box=boxv or 0.0)
+                toac = (p.old_acc[tree.perm]
+                        * cfg.ErrTolForceAcc).astype(pos_pred.dtype)
+                raw_acc, pot, _ = eval_targets(
+                    tree, tree.pos_s, tree.eps_s, toac,
+                    (mass > 0)[tree.perm],
+                    box=boxv, theta=cfg.ErrTolTheta,
+                    use_relative=(cfg.TypeOfOpeningCriterion == 1),
+                    config=wcfg, ewald=ewald, presorted=True)
+                inv = jnp.zeros(n, jnp.int32).at[tree.perm].set(
+                    jnp.arange(n, dtype=jnp.int32))
+                raw_acc = jnp.where(p.valid[:, None], raw_acc[inv], 0.0)
+                pot = pot[inv] + mass / jnp.maximum(eps, 1e-30)
+                pot = jnp.where(p.valid, pot, 0.0)
             accel, old_acc = integrate.apply_accel_postfactors(
                 raw_acc, pos_pred, vel_pred, t_next, consts)
             p = dataclasses.replace(
@@ -438,9 +455,15 @@ class Simulation:
         if self.cfg.SIDMOn and self.cfg.CrossSection > 0:
             params = self._sidm_params_for_phased()
             box = self.cfg.BoxSize if self.cfg.PeriodicBoundariesOn else 0.0
-            out = sidm_scatter_tree(p, pos_pred, tree, t_next, active, vmax,
-                                    key, params, box=box,
-                                    salt=self.step_count)
+            if box == 0.0 and self.cfg.ForceMethod == "tree":
+                from .ops.fused_range import sidm_scatter_fused
+                out = sidm_scatter_fused(p, pos_pred, tree, t_next, active,
+                                         vmax, key, params,
+                                         salt=self.step_count)
+            else:
+                out = sidm_scatter_tree(p, pos_pred, tree, t_next, active,
+                                        vmax, key, params, box=box,
+                                        salt=self.step_count)
             if params.log_events:
                 p, n_scat, events = out
             else:
