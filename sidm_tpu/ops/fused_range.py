@@ -452,3 +452,105 @@ def sidm_scatter_fused(p, pos_pred, tree: Octree, time, active, vmax, key,
     if params.log_events:
         return p2, n_scat, ev
     return p2, n_scat
+
+def tree_hsml_init_fused(p, tree: Octree, k: int,
+                         cfg: Optional[FusedConfig] = None,
+                         iters: int = 10):
+    """Initial smoothing lengths via the fused range walk
+    (setup_smoothinglengths_sidm analog, init.c:159; replaces the
+    segment-budget walk of sidm_tree.tree_hsml_init, whose fixed cap
+    overflowed — dropping segments and under-counting — at N=1e6).
+
+    Density seed from tree cell counts, then the multiplicative
+    neighbour-count controller for ``iters`` fused counting passes."""
+    import dataclasses
+
+    from .sidm_tree import _HSML_PARAMS
+
+    cfg = cfg or FusedConfig(group_block=256)
+    n = tree.pos_s.shape[0]
+    dtype = tree.pos_s.dtype
+    depth = tree.depth
+    offs = tree.level_offsets
+
+    # density seed: deepest ancestor cell holding >= 2k particles
+    s_sel = jnp.full(n, 1.0, dtype) * tree.extent
+    c_sel = jnp.full(n, float(n), dtype)
+    ends = list(offs[1:]) + [tree.node_start.shape[0]]
+    for l in range(1, depth + 1):
+        o = offs[l]
+        cap_l = ends[l] - o
+        ids = o + jnp.arange(cap_l, dtype=jnp.int32)
+        valid_l = jnp.arange(cap_l) < tree.n_nodes[l]
+        cnts = tree.node_count[ids]
+        tgt = jnp.where(valid_l & (cnts > 0), tree.node_start[ids], n)
+        mark = jnp.full(n + 1, -1, jnp.int32).at[tgt].set(ids)[:n]
+        nid = lax.cummax(mark)
+        c_p = tree.node_count[jnp.maximum(nid, 0)].astype(dtype)
+        ok = (nid >= 0) & (c_p >= 2 * k)
+        s_l = tree.extent / (1 << l)
+        s_sel = jnp.where(ok, s_l, s_sel)
+        c_sel = jnp.where(ok, c_p, c_sel)
+    h_sorted = s_sel * (3.0 * k / (4.0 * jnp.pi * c_sel)) ** (1.0 / 3.0)
+    inv = jnp.zeros(n, jnp.int32).at[tree.perm].set(
+        jnp.arange(n, dtype=jnp.int32))
+    h = h_sorted[inv]
+    col = p.is_collisionless & p.valid
+    h = jnp.where(col, h, 0.0)
+    hcap = 8.0 * jnp.nanmedian(jnp.where(col, h, jnp.nan))
+    hcap = jnp.nan_to_num(hcap, nan=jnp.inf)
+
+    def cap(hh):
+        return jnp.where(col, jnp.minimum(hh, hcap), hh)
+
+    h = cap(h)
+
+    typs_s = jnp.where(col, p.ptype, -9)[tree.perm].astype(jnp.int32)
+    aux = jnp.clip(p.ptype, 0, 7).astype(dtype)[tree.perm]
+    rows = jnp.concatenate([
+        tree.pos_s, jnp.zeros((n, 3), dtype),
+        jnp.ones((n, 1), dtype), aux[:, None]], axis=1)
+    rt = pack_range_tree(tree, rows)
+
+    valid_s = p.valid[tree.perm]
+    pidx, gvalid, ngp, GB, NB = make_windows(
+        tree.keys_s, valid_s, n, cfg.group_size, depth, cfg.break_level,
+        cfg.group_block)
+    gt = tree.pos_s[pidx]
+    gv = jnp.zeros_like(gt)
+    gdt = jnp.where(gvalid, 1.0, 0.0).astype(dtype)
+    gty = jnp.where(gvalid, typs_s[pidx], -9).astype(jnp.int32)
+    gidx = jnp.where(gvalid, pidx, -1)
+    big = jnp.asarray(1e30, dtype)
+    far_here = tree.origin + 4.0 * tree.extent
+
+    cnt_flat = jnp.zeros(n, jnp.int32)
+    for it in range(iters + 1):  # last pass counts at the final h
+        hs = h[tree.perm]
+        gh = jnp.where(gvalid, hs[pidx], 0.0)
+        live_t = gvalid & (gh > 0)
+        glo = jnp.min(jnp.where(live_t[..., None], gt, big), axis=1)
+        ghi = jnp.max(jnp.where(live_t[..., None], gt, -big), axis=1)
+        any_v = jnp.any(live_t, axis=1)
+        glo = jnp.where(any_v[:, None], glo, far_here)
+        ghi = jnp.where(any_v[:, None], ghi, far_here)
+        pad = jnp.max(jnp.where(live_t, gh, 0.0), axis=1)
+
+        _, ncnt, _, _, ovf = _range_eval(
+            rt, gt, gv, gh, gdt, gty, gidx, glo, ghi, pad, tree.extent,
+            tree.origin, jnp.uint32(it), jnp.asarray(1.0, dtype),
+            jnp.asarray(0.0, dtype), cfg, depth, n, _HSML_PARAMS)
+
+        flat_idx = jnp.where(gvalid, pidx, n).reshape(-1)
+        cnt_sorted = jnp.zeros(n + 1, jnp.int32).at[flat_idx].set(
+            ncnt.reshape(-1))[:n]
+        cnt_flat = cnt_sorted[inv]
+        if it < iters:
+            ratio = (k / jnp.maximum(cnt_flat, 1).astype(dtype)) \
+                ** (1.0 / 3.0)
+            h = cap(jnp.where(col, h * jnp.clip(ratio, 0.5, 2.0), h))
+
+    return dataclasses.replace(
+        p,
+        hsml_vd=jnp.where(col, h, p.hsml_vd),
+        ngb_vd=jnp.where(col, cnt_flat, p.ngb_vd).astype(jnp.int32))

@@ -490,17 +490,24 @@ class Simulation:
         # initial SIDM smoothing lengths (init.c setup_smoothinglengths_sidm)
         if cfg.SIDMOn and cfg.CrossSection > 0:
             if self._use_phased():
-                from .ops.sidm_tree import tree_hsml_init
                 from .ops.tree import build_octree
                 soft = jnp.asarray(softening_table(cfg, self.time),
                                    self.dtype)
                 eps = soft[jnp.clip(p.ptype, 0, 5)]
-                tree = build_octree(
-                    p.pos, jnp.where(p.valid, p.mass, 0.0), eps, p.valid,
-                    box=cfg.BoxSize if cfg.PeriodicBoundariesOn else 0.0)
-                p = tree_hsml_init(
-                    p, tree, cfg.DesNumNgb,
-                    box=cfg.BoxSize if cfg.PeriodicBoundariesOn else 0.0)
+                box = cfg.BoxSize if cfg.PeriodicBoundariesOn else 0.0
+                if box == 0.0 and cfg.ForceMethod == "tree":
+                    from .ops.fused_force import default_depth
+                    from .ops.fused_range import tree_hsml_init_fused
+                    tree = build_octree(
+                        p.pos, jnp.where(p.valid, p.mass, 0.0), eps,
+                        p.valid, box=0.0, depth=default_depth(p.n_padded))
+                    p = tree_hsml_init_fused(p, tree, cfg.DesNumNgb)
+                else:
+                    from .ops.sidm_tree import tree_hsml_init
+                    tree = build_octree(
+                        p.pos, jnp.where(p.valid, p.mass, 0.0), eps,
+                        p.valid, box=box)
+                    p = tree_hsml_init(p, tree, cfg.DesNumNgb, box=box)
             else:
                 from .ops.neighbors import setup_smoothing_lengths
                 box = cfg.BoxSize if cfg.PeriodicBoundariesOn else None

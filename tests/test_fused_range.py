@@ -77,3 +77,24 @@ def test_fused_counts_brute_force():
         d = np.linalg.norm(pos - pos[i], axis=1)
         ref = int(((d < h[i]) & (d > 0)).sum())
         assert cnt[i] == ref, i
+
+
+def test_hsml_init_fused_counts_exact():
+    from sidm_tpu.io import ics
+    from sidm_tpu.ops.fused_range import tree_hsml_init_fused
+
+    n = 1024
+    pos, vel, m = ics.plummer(n, seed=5)
+    p = make_particles(pos, vel, m, np.ones(n, np.int32), pad_to_multiple=n)
+    eps = jnp.full(n, 0.01, jnp.float32)
+    tree = build_octree(p.pos, p.mass, eps, p.valid, depth=10)
+    p2 = tree_hsml_init_fused(p, tree, 30, iters=8)
+    cnt = np.asarray(p2.ngb_vd)
+    h = np.asarray(p2.hsml_vd)
+    P = np.asarray(p.pos)
+    for i in range(0, n, 7):
+        d = np.linalg.norm(P - P[i], axis=1)
+        assert cnt[i] == int(((d < h[i]) & (d > 0)).sum()), i
+    # controller converged to ~DesNumNgb for the bulk
+    mid = np.quantile(cnt, 0.5)
+    assert 20 <= mid <= 45
