@@ -472,8 +472,9 @@ def _fused_eval(ftree: FusedTree, gtargets, geps, glo, ghi, oac, gvalid,
     ng, G, _ = gtargets.shape
     dtype = gtargets.dtype
     GB = min(cfg.group_block, ng)
+    while ng % GB:          # largest divisor <= group_block (static)
+        GB -= 1
     NB = ng // GB
-    assert NB * GB == ng
     theta2 = theta * theta
 
     gc = 0.5 * (glo + ghi)
@@ -691,11 +692,22 @@ def make_windows(keys_s, valid_s, n: int, G: int, depth: int,
 def fused_gravity_tree(tree, mass, eps, old_acc, *, theta=0.5, opening=1,
                        err_tol_force_acc=0.005,
                        config: Optional[FusedConfig] = None,
-                       return_info: bool = False, need_pot: bool = True):
+                       return_info: bool = False, need_pot: bool = True,
+                       shard: Optional[tuple] = None):
     """Fused walk/eval on a PREBUILT octree (so the simulation step can
     share one tree between gravity and the SIDM range walk). mass/eps/
     old_acc are in ORIGINAL particle order; returns (acc, pot[, info]) in
-    original order."""
+    original order.
+
+    shard: optional ``(shard_index, n_shards)`` with a traced index and a
+    static count. The deterministic group-window set is split into
+    ``n_shards`` equal block ranges and ONLY the local range is walked and
+    evaluated; returned acc/pot then hold PARTIAL sums (zero for particles
+    outside the local groups) that the caller must ``psum`` over the mesh
+    axis. This is the multi-chip work decomposition: every device holds the
+    same replicated tree, walks its own slice of target groups
+    (gravtree.c:127-246's bunch pipeline, inverted: targets sharded,
+    tree replicated)."""
     cfg = config or FusedConfig()
     n = tree.pos_s.shape[0]
     depth = tree.depth
@@ -706,6 +718,34 @@ def fused_gravity_tree(tree, mass, eps, old_acc, *, theta=0.5, opening=1,
     pidx, gvalid, ngp, GB, NB = make_windows(
         tree.keys_s, valid[tree.perm], n, G, depth, cfg.break_level,
         cfg.group_block, cfg.sort_groups)
+
+    if shard is not None:
+        sidx, nsh = shard
+        # pad the block axis to a multiple of n_shards with dead groups
+        nb_pad = -(-NB // nsh) * nsh
+        if nb_pad != NB:
+            extra = (nb_pad - NB) * GB
+            pidx = jnp.concatenate(
+                [pidx, jnp.zeros((extra, G), pidx.dtype)])
+            gvalid = jnp.concatenate(
+                [gvalid, jnp.zeros((extra, G), bool)])
+            NB, ngp = nb_pad, nb_pad * GB
+        # STRIDED block assignment: blocks are density-sorted (most
+        # expensive first), so contiguous slices would send every dense
+        # core block to shard 0 — round-robin keeps shard work balanced
+        # (the reference balances by GravCost bisection, domain.c:154-280;
+        # here homogeneous-cost striding achieves the same end statically)
+        ngd = (NB // nsh) * GB
+        sidx = jnp.asarray(sidx, jnp.int32)
+        pidx = lax.dynamic_slice(
+            pidx.reshape(NB // nsh, nsh, GB * G),
+            (jnp.int32(0), sidx, jnp.int32(0)),
+            (NB // nsh, 1, GB * G)).reshape(ngd, G)
+        gvalid = lax.dynamic_slice(
+            gvalid.reshape(NB // nsh, nsh, GB * G),
+            (jnp.int32(0), sidx, jnp.int32(0)),
+            (NB // nsh, 1, GB * G)).reshape(ngd, G)
+        ngp, NB = ngd, NB // nsh
 
     dtype = tree.pos_s.dtype
     toac = (old_acc[tree.perm] * err_tol_force_acc).astype(dtype)
@@ -739,8 +779,10 @@ def fused_gravity_tree(tree, mass, eps, old_acc, *, theta=0.5, opening=1,
         jnp.arange(n, dtype=jnp.int32))
     acc = acc_s[inv]
     pot = pot_s[inv]
-    # remove spline self-potential (potential.c:136)
-    if need_pot:
+    # remove spline self-potential (potential.c:136) — in shard mode the
+    # caller applies it AFTER the cross-shard psum (it would otherwise be
+    # summed n_shards times)
+    if need_pot and shard is None:
         pot = pot + mass / jnp.maximum(eps, 1e-30)
         pot = jnp.where(valid, pot, 0.0)
     acc = jnp.where(valid[:, None], acc, 0.0)

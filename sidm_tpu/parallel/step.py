@@ -40,30 +40,80 @@ def _gather(x):
     return lax.all_gather(x, AXIS, tiled=True)
 
 
+def _fused_sharded_force(pos, mass, eps, oldacc, nsh, *, theta, opening,
+                         err_tol_force_acc, fused_config=None,
+                         need_pot=True):
+    """Group-sharded fused force over REPLICATED (gathered) arrays.
+
+    Every device builds the same tree and walks a strided slice of the
+    target-group blocks; partial full-length acc/pot are psum-reduced over
+    the mesh axis (the ICI analog of gravtree.c:208-222's reverse exchange
+    + partial-force summation). Returns FULL-length (acc, pot); the caller
+    slices its local rows and adds the self-potential term."""
+    from ..ops.fused_force import (FusedConfig, default_depth,
+                                   fused_gravity_tree)
+    from ..ops.tree import build_octree
+
+    n = pos.shape[0]
+    fcfg = fused_config or FusedConfig()
+    tree = build_octree(pos, mass, eps, mass > 0, box=0.0,
+                        depth=default_depth(n))
+    sidx = lax.axis_index(AXIS)
+    acc, pot = fused_gravity_tree(
+        tree, mass, eps, oldacc, theta=theta, opening=opening,
+        err_tol_force_acc=err_tol_force_acc, config=fcfg,
+        need_pot=need_pot, shard=(sidx, nsh))
+    acc = lax.psum(acc, AXIS)
+    pot = lax.psum(pot, AXIS) if need_pot else pot
+    return acc, pot, tree
+
+
+def _local_slice(x, nloc):
+    shard_i = lax.axis_index(AXIS)
+    return lax.dynamic_slice_in_dim(x, shard_i * nloc, nloc, axis=0)
+
+
 def make_sharded_force(mesh: Mesh, *, theta=0.5, opening=1,
                        err_tol_force_acc=0.005, box=None, ewald=None,
-                       walk_config=None, depth: int = 10):
+                       walk_config=None, depth: int = 10,
+                       fused_config=None):
     """Sharded tree gravity: (pos_local, mass_local, eps_local, oldacc_local)
-    -> (acc_local, pot_local)."""
+    -> (acc_local, pot_local).
+
+    Non-periodic runs use the fused frontier engine with group-block
+    sharding + psum; periodic (Ewald) runs use the legacy flat-pair walk
+    with local targets against a replicated tree."""
     from ..ops.tree import build_octree
     from ..ops.treeforce import WalkConfig, eval_targets
 
     cfg = walk_config or WalkConfig()
+    use_fused = not box
+    nsh = mesh.devices.size
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
-             out_specs=(P(AXIS), P(AXIS)))
+             out_specs=(P(AXIS), P(AXIS)), check_vma=False)
     def force(pos_l, mass_l, eps_l, oldacc_l):
         pos = _gather(pos_l)
         mass = _gather(mass_l)
         eps = _gather(eps_l)
         valid = mass > 0
-        tree = build_octree(pos, mass, eps, valid, box=box or 0.0,
-                            depth=depth)
-        toac = oldacc_l * err_tol_force_acc
-        acc, pot, _ = eval_targets(
-            tree, pos_l, eps_l, toac, mass_l > 0, box=box, theta=theta,
-            use_relative=(opening == 1), config=cfg, ewald=ewald)
+        if use_fused:
+            oldacc = _gather(oldacc_l)
+            acc_f, pot_f, _ = _fused_sharded_force(
+                pos, mass, eps, oldacc, nsh, theta=theta, opening=opening,
+                err_tol_force_acc=err_tol_force_acc,
+                fused_config=fused_config)
+            nloc = pos_l.shape[0]
+            acc = _local_slice(acc_f, nloc)
+            pot = _local_slice(pot_f, nloc)
+        else:
+            tree = build_octree(pos, mass, eps, valid, box=box or 0.0,
+                                depth=depth)
+            toac = oldacc_l * err_tol_force_acc
+            acc, pot, _ = eval_targets(
+                tree, pos_l, eps_l, toac, mass_l > 0, box=box, theta=theta,
+                use_relative=(opening == 1), config=cfg, ewald=ewald)
         pot = pot + mass_l / jnp.maximum(eps_l, 1e-30)
         pot = jnp.where(mass_l > 0, pot, 0.0)
         acc = jnp.where((mass_l > 0)[:, None], acc, 0.0)
@@ -76,13 +126,19 @@ def make_multichip_step(mesh: Mesh, consts, ts_params, *, theta=0.5,
                         opening=1, err_tol_force_acc=0.005,
                         sidm_params=None, box=None, ewald=None,
                         synchronized=True, time_max=1e30, walk_config=None,
-                        depth: int = 10):
+                        depth: int = 10, fused_config=None):
     """Full sharded timestep: predict -> gravity -> SIDM -> advance ->
-    reflect/wrap -> timesteps. Mirrors simulation._build_step on shards."""
+    reflect/wrap -> timesteps. Mirrors simulation._build_step on shards.
+
+    Non-periodic runs use the FUSED frontier engines (group-sharded force
+    + psum; replicated fused-range DSMC); periodic runs use the legacy
+    flat-pair walk + cell-hash DSMC."""
     from ..ops.tree import build_octree
     from ..ops.treeforce import WalkConfig, eval_targets
 
     cfg = walk_config or WalkConfig()
+    use_fused = not box
+    nsh = mesh.devices.size
     specs_p = Particles(*([P(AXIS)] * len(dataclasses.fields(Particles))))
 
     @partial(shard_map, mesh=mesh,
@@ -105,12 +161,23 @@ def make_multichip_step(mesh: Mesh, consts, ts_params, *, theta=0.5,
         eps_l = eps_tab[jnp.clip(p_l.ptype, 0, 5)]
         eps = _gather(eps_l)
         valid = mass > 0
-        tree = build_octree(pos, mass, eps, valid, box=box or 0.0,
-                            depth=depth)
-        raw_acc, pot, _ = eval_targets(
-            tree, pos_pred_l, eps_l, p_l.old_acc * err_tol_force_acc,
-            p_l.mass > 0, box=box, theta=theta,
-            use_relative=(opening == 1), config=cfg, ewald=ewald)
+        nloc = pos_pred_l.shape[0]
+        tree = None
+        if use_fused:
+            oldacc = _gather(p_l.old_acc)
+            acc_f, pot_f, tree = _fused_sharded_force(
+                pos, mass, eps, oldacc, nsh, theta=theta, opening=opening,
+                err_tol_force_acc=err_tol_force_acc,
+                fused_config=fused_config)
+            raw_acc = _local_slice(acc_f, nloc)
+            pot = _local_slice(pot_f, nloc)
+        else:
+            tree = build_octree(pos, mass, eps, valid, box=box or 0.0,
+                                depth=depth)
+            raw_acc, pot, _ = eval_targets(
+                tree, pos_pred_l, eps_l, p_l.old_acc * err_tol_force_acc,
+                p_l.mass > 0, box=box, theta=theta,
+                use_relative=(opening == 1), config=cfg, ewald=ewald)
         pot = pot + p_l.mass / jnp.maximum(eps_l, 1e-30)
         accel_l, old_acc_l = integrate.apply_accel_postfactors(
             raw_acc, pos_pred_l, vel_pred_l, t_next, consts)
@@ -121,27 +188,28 @@ def make_multichip_step(mesh: Mesh, consts, ts_params, *, theta=0.5,
             pot=jnp.where(active_l, pot, p_l.pot),
         )
 
-        # --- SIDM: replicated DSMC over the gathered state ---
+        # --- SIDM: replicated DSMC over the gathered state (identical
+        # RNG on every device -> identical kicks; each keeps its slice) ---
         n_scat = jnp.zeros((), jnp.int32)
         if sidm_params is not None:
-            from ..ops.sidm import sidm_scatter
             p_g = jax.tree.map(_gather, p_l)
             active_g = _gather(active_l)
             pos_pred_g = _gather(pos_pred_l)
-            p_g2, n_scat = sidm_scatter(p_g, pos_pred_g, t_next, active_g,
-                                        vmax, key, sidm_params,
-                                        box=box or 0.0)
+            if use_fused:
+                from ..ops.fused_range import sidm_scatter_fused
+                p_g2, n_scat = sidm_scatter_fused(
+                    p_g, pos_pred_g, tree, t_next, active_g, vmax, key,
+                    sidm_params)
+            else:
+                from ..ops.sidm import sidm_scatter
+                p_g2, n_scat = sidm_scatter(p_g, pos_pred_g, t_next,
+                                            active_g, vmax, key,
+                                            sidm_params, box=box or 0.0)
             # local slice of the updated kick field
-            shard_i = lax.axis_index(AXIS)
-            nloc = p_l.pos.shape[0]
-            dvel_l = lax.dynamic_slice_in_dim(p_g2.dvel, shard_i * nloc,
-                                              nloc, axis=0)
-            hs_l = lax.dynamic_slice_in_dim(p_g2.hsml_vd, shard_i * nloc,
-                                            nloc, axis=0)
-            ng_l = lax.dynamic_slice_in_dim(p_g2.ngb_vd, shard_i * nloc,
-                                            nloc, axis=0)
-            p_l = dataclasses.replace(p_l, dvel=dvel_l, hsml_vd=hs_l,
-                                      ngb_vd=ng_l)
+            p_l = dataclasses.replace(
+                p_l, dvel=_local_slice(p_g2.dvel, nloc),
+                hsml_vd=_local_slice(p_g2.hsml_vd, nloc),
+                ngb_vd=_local_slice(p_g2.ngb_vd, nloc))
 
         # --- advance + boundaries (element-wise on shards) ---
         p_l = integrate.advance(p_l, t_next, active_l, consts)

@@ -1,0 +1,124 @@
+"""Multi-chip sharded path on the 8-device CPU mesh (conftest.py).
+
+The TPU analog of the reference's "mpirun -n 2 on one host" testing mode
+(nbody/README.md:30-37): the fused group-sharded force must reproduce the
+single-device fused engine, and the full sharded SIDM step must run and
+conserve momentum.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sidm_tpu.io import ics
+from sidm_tpu.parallel.mesh import make_mesh, shard_particles
+from sidm_tpu.parallel.step import make_multichip_step, make_sharded_force
+
+N = 2048
+
+
+def _arrays(n=N, seed=7):
+    pos, vel, mass = ics.hernquist(n, seed=seed)
+    pos = jnp.asarray(pos, jnp.float32)
+    mass = jnp.asarray(mass, jnp.float32)
+    eps = jnp.full(n, 0.05, jnp.float32)
+    oldacc = jnp.zeros(n, jnp.float32)
+    return pos, mass, eps, oldacc
+
+
+def test_sharded_fused_force_matches_single_device():
+    from sidm_tpu.ops.fused_force import fused_gravity
+
+    mesh = make_mesh(8)
+    pos, mass, eps, oldacc = _arrays()
+    force = make_sharded_force(mesh, theta=0.5, opening=0)
+    acc_sh, pot_sh = jax.jit(force)(pos, mass, eps, oldacc)
+    acc_1, pot_1 = fused_gravity(pos, mass, eps, oldacc, theta=0.5,
+                                 opening=0)
+    np.testing.assert_allclose(np.asarray(acc_sh), np.asarray(acc_1),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pot_sh), np.asarray(pot_1),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_fused_force_accuracy_vs_direct():
+    from sidm_tpu.ops.direct import direct_gravity
+
+    mesh = make_mesh(8)
+    pos, mass, eps, oldacc = _arrays(seed=11)
+    force = make_sharded_force(mesh, theta=0.5, opening=0)
+    acc_sh, _ = jax.jit(force)(pos, mass, eps, oldacc)
+    acc_d, _ = direct_gravity(pos, mass, eps)
+    err = np.linalg.norm(np.asarray(acc_sh) - np.asarray(acc_d), axis=1)
+    ref = np.linalg.norm(np.asarray(acc_d), axis=1)
+    p99 = np.percentile(err / np.maximum(ref, 1e-12), 99)
+    assert p99 <= 1e-3, p99
+
+
+def _mini_sim(n=512, sidm=True):
+    import __graft_entry__ as ge
+    sim = ge._make_sim(n=n, sidm=sidm)
+    sim.prepare()
+    return sim
+
+
+@pytest.mark.parametrize("sidm", [False, True])
+def test_multichip_step_runs_and_conserves(sidm):
+    from sidm_tpu.ops.sidm import SidmParams
+    from sidm_tpu.rng import run_key
+
+    mesh = make_mesh(8)
+    sim = _mini_sim(n=512, sidm=sidm)
+    params = sim._timestep_params()
+    sidm_params = None
+    if sidm:
+        sidm_params = sim._sidm_params_for_phased()
+    step = make_multichip_step(
+        mesh, sim.consts, params, theta=sim.cfg.ErrTolTheta,
+        opening=sim.cfg.TypeOfOpeningCriterion,
+        err_tol_force_acc=sim.cfg.ErrTolForceAcc,
+        sidm_params=sidm_params, synchronized=True,
+        time_max=sim.cfg.TimeMax)
+
+    p = shard_particles(sim.particles, mesh)
+    vmax = jnp.asarray(sim.vmax, jnp.float32)
+    mom0 = np.asarray(jnp.sum(p.vel * p.mass[:, None], axis=0))
+    p2, t, vmax2, n_active = jax.jit(step)(p, vmax, run_key(3, 4))
+    jax.block_until_ready(p2.pos)
+    assert np.isfinite(np.asarray(p2.pos)).all()
+    assert int(n_active) > 0
+    assert float(t) > sim.cfg.TimeBegin
+    # DKD kick conserves total momentum (kicks are +-dv pairs for SIDM)
+    mom1 = np.asarray(jnp.sum(
+        (p2.vel + p2.dvel) * p2.mass[:, None], axis=0))
+    acc_mom = np.asarray(jnp.sum(
+        p2.accel * p2.mass[:, None], axis=0))
+    # gravity momentum change integrates to ~0 (tree forces are not exactly
+    # pairwise-symmetric); bound it loosely, SIDM kicks exactly cancel
+    assert np.all(np.abs(mom1 - mom0 - acc_mom * float(t)) < 5e-2)
+
+
+def test_multichip_step_matches_singlechip_force():
+    """The sharded step's acceleration field equals the single-chip phased
+    force (same tree, same engine, group-sharded + psum)."""
+    from sidm_tpu.rng import run_key
+
+    mesh = make_mesh(8)
+    sim = _mini_sim(n=512, sidm=False)
+    params = sim._timestep_params()
+    step = make_multichip_step(
+        mesh, sim.consts, params, theta=sim.cfg.ErrTolTheta,
+        opening=sim.cfg.TypeOfOpeningCriterion,
+        err_tol_force_acc=sim.cfg.ErrTolForceAcc,
+        sidm_params=None, synchronized=True, time_max=sim.cfg.TimeMax)
+    p = shard_particles(sim.particles, mesh)
+    vmax = jnp.asarray(sim.vmax, jnp.float32)
+    p2, t, _, _ = jax.jit(step)(p, vmax, run_key(3, 4))
+
+    phase_force, _ = sim._build_phases()
+    p1, t1, _, _, _ = phase_force(sim.particles, vmax)
+    assert float(t) == pytest.approx(float(t1))
+    np.testing.assert_allclose(np.asarray(p2.accel), np.asarray(p1.accel),
+                               rtol=3e-4, atol=3e-4)
