@@ -1,4 +1,8 @@
-"""Stage attribution for the FLAT pair-queue force engine at bench scale.
+"""Stage attribution for the FLAT fused-walk force engine at bench scale.
+
+skip_far removes ONLY the in-walk far math (emissions keep running), so
+the attribution is: walk+emit = skip_far+skip_near run; far math =
+full - skip_far (with near also skipped); near = skip_near delta.
 
 Run: python scripts/profile_flat.py [N] [reps]
 """
@@ -65,29 +69,39 @@ def main():
                 need_pot=need_pot)
         return jax.jit(f)
 
-    base = fl.FlatConfig()
+    base = fl.FlatConfig(
+        chunk=int(os.environ.get("FLAT_CHUNK", "65536")),
+        near_chunk=int(os.environ.get("FLAT_NEAR_CHUNK", "32768")))
+    print(f"config: chunk={base.chunk} near_chunk={base.near_chunk}",
+          flush=True)
     out, t_full = timeit("flat full (need_pot=False)", run(base),
                          tree, mass, eps, old_acc)
     info = out[2]
     print(f"  ovf={int(info['ovf_open'])},{int(info['ovf_seg'])},"
           f"{int(info['ovf_big'])} n_segs={int(info['n_segs']):,} "
+          f"n_far={int(info['n_far']):,} "
           f"max_pairs={int(info['max_pairs']):,}", flush=True)
+    print(f"  lvl_pairs={[int(x) for x in info['lvl_pairs']]}", flush=True)
+    print(f"  lvl_far={[int(x) for x in info['lvl_far']]}", flush=True)
 
-    _, t_nf = timeit("skip_far  (walk + near)",
+    _, t_nf = timeit("skip_far  (walk + emit + near)",
                      run(base._replace(skip_far=True)),
                      tree, mass, eps, old_acc)
-    _, t_nn = timeit("skip_near (walk + far)",
+    _, t_nn = timeit("skip_near (walk + emit + far)",
                      run(base._replace(skip_near=True)),
                      tree, mass, eps, old_acc)
-    _, t_w = timeit("skip both (walk only)",
+    _, t_w = timeit("skip both (walk + emit)",
                     run(base._replace(skip_far=True, skip_near=True)),
                     tree, mass, eps, old_acc)
-    print(f"\nattribution: walk {t_w*1e3:.0f} ms, "
-          f"far {(t_nn-t_w)*1e3:.0f} ms, near {(t_nf-t_w)*1e3:.0f} ms, "
-          f"total {t_full*1e3:.0f} ms", flush=True)
+    _, t_wo = timeit("walk only (no emit, no eval)",
+                     run(base._replace(skip_far=True, skip_near=True,
+                                       skip_walk_emit=True)),
+                     tree, mass, eps, old_acc)
+    print(f"\nattribution: walk {t_wo*1e3:.0f} ms, "
+          f"emit {(t_w-t_wo)*1e3:.0f} ms, far {(t_nn-t_w)*1e3:.0f} ms, "
+          f"near {(t_nf-t_w)*1e3:.0f} ms, total {t_full*1e3:.0f} ms",
+          flush=True)
 
-    # accuracy spot-check vs direct on a subsample is in tests; here check
-    # finiteness only
     assert bool(jnp.isfinite(out[0]).all())
 
 

@@ -9,5 +9,30 @@ place of MPI domain decomposition.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (measured on the axon TPU backend:
+    a 17.5 s compile replays in 1.2 s). The deep-tree walk programs compile
+    for minutes, so this is load-bearing for restart/bench turnaround.
+    Opt out with SIDM_TPU_COMPILE_CACHE=0 or point it elsewhere with
+    JAX_COMPILATION_CACHE_DIR."""
+    if _os.environ.get("SIDM_TPU_COMPILE_CACHE", "1") == "0":
+        return
+    path = _os.environ.get("JAX_COMPILATION_CACHE_DIR") \
+        or _os.path.expanduser("~/.cache/sidm_tpu/jax")
+    try:
+        _os.makedirs(path, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", path)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 from .config import SimConfig, Units, parse_parameter_file, set_units
 from .state import Particles, SystemState, make_particles

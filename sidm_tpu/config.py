@@ -76,6 +76,15 @@ class SimConfig:
     ErrTolForceAcc: float = 0.005
     MaxNodeMove: float = 0.02
     TreeUpdateFrequency: float = 0.1
+    # Lazy-rebuild cadence for the fused tree engines: the Morton topology
+    # is rebuilt every K-th force; in between, refresh_octree recomputes
+    # exact moments on the frozen topology and the walk inflates its
+    # opening/containment guards by the accumulated particle drift. K=1
+    # rebuilds every step (exact reference behaviour). This replaces the
+    # reference's TreeUpdateFrequency/MaxNodeMove lazy node updates
+    # (forcetree.c:433-571,941-948; gravtree.c:63) which keep STALE
+    # moments — here moments stay exact, only containment is conservative.
+    TreeRefreshSteps: int = 4
 
     # --- time integration accuracy ---
     TypeOfTimestepCriterion: int = 1
@@ -170,6 +179,7 @@ _OPTIONAL_TAGS = {
     "CrossSectionPowLaw", "NoScatter", "ScatterLog", "FindNbrLog",
     "ReflectionBoundary", "NoForce", "VelDispOn",
     "ForceMethod", "Precision", "SnapFormatOut", "EwaldGridSize",
+    "TreeRefreshSteps",
 }
 
 

@@ -1,33 +1,37 @@
-"""Flat pair-queue Barnes-Hut gravity: the v2 TPU engine.
+"""Flat pair-queue Barnes-Hut gravity: the v3 TPU engine.
 
-Replaces the blocked frontier engine (ops/fused_force.py) after a measured
-finding: at N=1e6 the blocked walk's cost is dominated by the ~0.4 ms fixed
-overhead of every (level, block) ``lax.map``/``lax.while_loop`` invocation
-(512 blocks x 13 levels x 2 passes ~ 5 s), not by pair work. This engine
-keeps the same physics and opening criteria (reference semantics:
-``force_treeevaluate``, nbody/forcetree.c:786-1377) but processes ONE global
-flat queue of (node, target-group) pairs per level in 65k-pair chunks:
+Replaces the blocked frontier engine (ops/fused_force.py) after measured
+findings on v5e at N=1e6:
 
-* no per-group frontier width caps, no per-block live-width bookkeeping,
-  no minor-axis compaction sorts — compaction is a cumsum + flat scatter
-  (measured 0.04-0.11 ms per 65k chunk on v5e);
-* gathers are one node-row gather (64 B) + one packed 64-target row
-  (1 KB) + one group-geometry row (32 B) per pair — all fast-path TPU row
-  gathers;
-* classification AND the far-field (monopole + traceless quadrupole,
-  spline softening h=2.8 eps, forcetree.c:834,1002-1060) evaluate inline
-  in raw target coordinates (no group-centered |x|^2+|y|^2-2xy expansion,
-  so no bf16-MXU cancellation hazard and no Precision.HIGHEST einsums);
-* opened cells expand their (contiguous, child-compacted) children
-  directly into the next level's flat queue;
-* leaf cells emit 16-particle segment entries into ONE cross-level flat
-  near list, evaluated afterwards in planar-packed 65k-entry chunks
-  (measured 5.5M entries in ~0.6 s vs 3.4 s for the blocked near pass).
+* the blocked walk's cost is dominated by the ~0.4 ms fixed overhead of
+  every (level, block) ``lax.map``/``lax.while_loop`` invocation (512
+  blocks x 13 levels x 2 passes ~ 5 s), not by pair work;
+* ~85% of walk pairs are far-accepts, and compacting them into a 42M
+  far list (cumsum+scatter emission) then re-gathering node rows and
+  target rows for a separate eval pass costs MORE than the far math
+  itself (~2.3 ms per 65k-pair chunk is the measured v5e floor for the
+  monopole+quadrupole spline math, XLA and Pallas alike).
 
-Both opening criteria are supported: geometric BH (len^2 > theta^2 r^2,
-forcetree.c:967) and relative (m len^4 > |a_old| ErrTolForceAcc r^6,
-forcetree.c:1254-1257) with BH fallback when a_old is unavailable, plus
-the containment guard r^2 <= 3 len^2.
+This v3 engine therefore evaluates the far field INSIDE the walk: each
+chunk classifies its (node, group) pairs (geometric BH criterion
+forcetree.c:967, or relative criterion forcetree.c:1254-1257 with BH
+fallback plus the BMAX containment guard) and immediately runs the
+masked monopole+quadrupole math (spline softening h=2.8 eps,
+forcetree.c:834,1002-1060) on the rows it already gathered, accumulating
+per-(group, target) partial sums. Only two small lists are emitted:
+
+* leaf segments (16-particle ranges) into one cross-level unit-padded
+  near list (~13% of pairs), and
+* opened cells, expanded (contiguous, child-compacted children) into
+  the next level's pair queue.
+
+The queue is UNIT-ALIGNED by construction: the open expansion pads each
+group's child run to a multiple of FAR_U=32, so every aligned 32-slot
+unit of a chunk belongs to ONE group and the packed 256-float target row
+is gathered once per unit, not once per pair.
+
+The NEAR pass consumes the segment list against planar-by-16 packed
+particle rows, two rows (32 lanes) per entry.
 
 Non-periodic only (periodic Ewald runs use ops/treeforce.py).
 """
@@ -41,10 +45,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..kernels import softened_inv_r3, softened_potential
 from .fused_force import (IMAX, FusedTree, default_depth, make_windows,
                           pack_tree)
-from .tree import Octree, build_octree
+from .tree import Octree, build_octree, level_offsets
 
 # packed node row layout (see fused_force.pack_tree)
 _COM = slice(0, 3)
@@ -55,13 +58,18 @@ _CSTART = 6
 _CCNT = 7
 _QUAD = slice(8, 14)
 _EPS = 14
+_BMAX2 = 15
+
+
+FAR_U = 32    # queue/eval unit: pairs sharing one packed target row
+NEAR_U = 4    # near-list unit: 16-particle entries sharing one target row
 
 
 class FlatConfig(NamedTuple):
     group_size: int = 64       # targets per Morton window
     start_level: int = 2
     leaf_cap: int = 16
-    chunk: int = 65536         # classify/far pairs per chunk
+    chunk: int = 65536         # walk pairs per chunk
     near_chunk: int = 32768    # near entries per chunk
     pair_cap: int = 1 << 23    # flat pair-queue capacity per level
     seg_cap_mult: int = 8      # near-list capacity = mult * n
@@ -70,13 +78,24 @@ class FlatConfig(NamedTuple):
     # profiling/debug knobs (results are WRONG when a stage is skipped)
     skip_far: bool = False
     skip_near: bool = False
+    skip_walk_emit: bool = False
+
+
+def default_flat_config(n: int) -> FlatConfig:
+    """Chunk/cap schedule by problem size: bench-scale runs use 65k-pair
+    chunks; small runs shrink the static buffers (and compile time)."""
+    if n > (1 << 18):
+        return FlatConfig()
+    return FlatConfig(chunk=8192, near_chunk=4096, pair_cap=1 << 20)
 
 
 def pack_planar16(tree: Octree):
     """Planar-by-16 particle rows: [x0..15, y0..15, z0..15, m0..15,
-    eps0..15, pad48] per (N/16, 128) row. Field extraction in the near
-    pass is then a contiguous lane slice (the interleaved 16-pack needs a
-    (..,32,8) reshape whose 8-wide lanes cost ~2x the whole near pass)."""
+    inv_eps0..15, pad48] per (N/16, 128) row. Field extraction in the
+    near pass is then a contiguous lane slice (the interleaved 16-pack
+    needs a (..,32,8) reshape whose 8-wide lanes cost ~2x the whole near
+    pass); eps is stored as its reciprocal so the spline path runs
+    divide-free."""
     n = tree.pos_s.shape[0]
     np16 = -(-n // 16)
     dtype = tree.pos_s.dtype
@@ -90,37 +109,112 @@ def pack_planar16(tree: Octree):
     return jnp.concatenate([
         plane(tree.pos_s[:, 0]), plane(tree.pos_s[:, 1]),
         plane(tree.pos_s[:, 2]), plane(tree.mass_s),
-        plane(tree.eps_s), jnp.zeros((np16, 48), dtype)], axis=1)
+        plane(1.0 / jnp.maximum(tree.eps_s, 1e-30)),
+        jnp.zeros((np16, 48), dtype)], axis=1)
+
+
+def _spline_force_nodiv(r2, h_inv):
+    """m-free softened force factor f with force = m*f*dx, computed from
+    r^2 and 1/h only (no divides; forcetree.c:1775-1789 piecewise spline,
+    Newtonian 1/r^3 outside). Returns (f, inv_r, newton_mask)."""
+    inv_r = lax.rsqrt(jnp.maximum(r2, 1e-37))
+    r = r2 * inv_r
+    u = r * h_inv
+    inv_r3 = inv_r * inv_r * inv_r
+    u2 = u * u
+    u3 = u2 * u
+    h_inv3 = h_inv * h_inv * h_inv
+    inner = 32.0 * (1.0 / 3.0 - 1.2 * u2 + u3) * h_inv3
+    outer = (64.0 * (1.0 / 3.0 - 0.75 * u + 0.6 * u2 - u3 / 6.0)
+             ) * h_inv3 - inv_r3 * (1.0 / 15.0)
+    wf = jnp.where(u < 0.5, inner, outer)
+    newton = u >= 1.0
+    return jnp.where(newton, inv_r3, wf), inv_r, newton
+
+
+def _spline_pot_nodiv(r2, h_inv, inv_r, newton):
+    """m-free softened potential phi/m from r^2 and 1/h (no divides)."""
+    r = r2 * inv_r
+    u = r * h_inv
+    u2 = u * u
+    u3 = u2 * u
+    wp_in = (16.0 / 3.0 * u2 - 9.6 * u2 * u2 + 6.4 * u2 * u3
+             - 2.8) * h_inv
+    wp_out = (inv_r * (1.0 / 15.0)
+              + (32.0 / 3.0 * u2 - 16.0 * u3 + 9.6 * u2 * u2
+                 - 32.0 / 15.0 * u2 * u3 - 3.2) * h_inv)
+    wp = jnp.where(u < 0.5, wp_in, wp_out)
+    return jnp.where(newton, -inv_r, wp)
 
 
 def _queue_caps(cfg: FlatConfig, depth: int, ng: int, caps_node):
     """Static per-level pair-queue capacities."""
     CH = cfg.chunk
     l0 = cfg.start_level
-    w0 = min(8 ** l0, caps_node[l0])
+    w0 = -(-min(8 ** l0, caps_node[l0]) // FAR_U) * FAR_U
     qcaps = {}
     q = ng * w0
     for l in range(l0, depth + 1):
-        q = min(q, ng * caps_node[l], cfg.pair_cap)
+        # unit padding adds < FAR_U per (group, level)
+        q = min(q + ng * FAR_U, ng * caps_node[l] + ng * FAR_U,
+                cfg.pair_cap)
         qcaps[l] = -(-q // CH) * CH
         q = qcaps[l] * 8
     return qcaps
 
 
-def _level_chunk(ids, gid, slot_ok, tbl, geom, trow, nl_real, s_l,
-                 theta2, use_relative, leaf_cap, last, big_chunks,
-                 skip_far, need_pot, ng, dtype):
-    """Classify + far-eval one flat chunk of (node, group) pairs.
+def _emit2(bufA, bufB, n_buf, valsA, valsB, valid, cap, ovf, ovf_slot):
+    """Compact (valsA, valsB)[valid] onto two parallel lists sharing one
+    position cumsum. Buffers have cap+1 slots (last = dump)."""
+    v = valid.reshape(-1)
+    pos = jnp.cumsum(v.astype(jnp.int32)) - 1
+    count = jnp.sum(v.astype(jnp.int32))
+    dest = jnp.where(v, jnp.minimum(n_buf + pos, cap), cap)
+    bufA = bufA.at[dest].set(jnp.where(v, valsA.reshape(-1), bufA[cap]))
+    bufB = bufB.at[dest].set(jnp.where(v, valsB.reshape(-1), bufB[cap]))
+    ovf = ovf.at[ovf_slot].add(jnp.maximum(n_buf + count - cap, 0))
+    return bufA, bufB, jnp.minimum(n_buf + count, cap), ovf
 
-    Returns (dacc (CH,G,3), dpot (CH,G), gidc, seg entries (CH,KMAX) +
-    validity, children (CH,8) + validity)."""
-    CH = ids.shape[0]
-    ids_ok = (ids >= 0) & (ids < nl_real) & slot_ok
-    rows = tbl[jnp.clip(ids, 0, tbl.shape[0] - 1)]
-    rows = jnp.where(ids_ok[:, None], rows, 0.0)
-    gidc = jnp.clip(gid, 0, ng - 1)
-    geo = geom[gidc]                              # (CH, 8)
 
+def _emit_units(bufA, bufB, n_buf, valsA, gid, valid, U, ng, cap, ovf,
+                ovf_slot):
+    """UNIT-PADDED compaction: group runs of valid entries are padded to
+    multiples of U so that every aligned U-slot 'unit' of the list belongs
+    to ONE group (its gid readable from the unit's first, always-live,
+    slot). Pads stay at the buffers' init values (dead ids / dump gid).
+
+    The eval passes then gather ONE packed target row per unit instead of
+    per element — measured 70x faster than per-pair windowed gathers.
+    Inputs are group-major (the queue order), so each group's entries are
+    consecutive; a group crossing a chunk boundary costs <= U-1 pads."""
+    v = valid.reshape(-1)
+    g = gid.reshape(-1)
+    x = valsA.reshape(-1)
+    gc = jnp.where(v, jnp.clip(g, 0, ng - 1), ng)
+    pos = jnp.cumsum(v.astype(jnp.int32)) - 1
+    big = jnp.int32(1 << 30)
+    first = jax.ops.segment_min(jnp.where(v, pos, big), gc,
+                                num_segments=ng + 1)
+    cnt_g = jax.ops.segment_sum(v.astype(jnp.int32), gc,
+                                num_segments=ng + 1)
+    pad_g = -(-cnt_g // U) * U
+    pad_g = pad_g.at[ng].set(0)
+    off_g = jnp.cumsum(pad_g) - pad_g          # exclusive prefix
+    total = jnp.sum(pad_g)
+    idx = pos - first[gc]
+    dest = jnp.where(v, jnp.minimum(n_buf + off_g[gc] + idx, cap), cap)
+    bufA = bufA.at[dest].set(jnp.where(v, x, bufA[cap]))
+    bufB = bufB.at[dest].set(jnp.where(v, jnp.clip(g, 0, ng - 1),
+                                       bufB[cap]))
+    ovf = ovf.at[ovf_slot].add(jnp.maximum(n_buf + total - cap, 0))
+    return bufA, bufB, jnp.minimum(n_buf + total, cap), ovf
+
+
+# ----------------------------------------------------------------------
+# WALK + fused far eval
+# ----------------------------------------------------------------------
+
+def _classify(rows, geo, ids_ok, s_l, theta2, use_relative, leaf_cap):
     com = rows[:, _COM]
     m = rows[:, _MASS]
     cnt = rows[:, _CNT].astype(jnp.int32)
@@ -134,303 +228,186 @@ def _level_chunk(ids, gid, slot_ok, tbl, geom, trow, nl_real, s_l,
         mac_open = jnp.where(oac > 0, rel, geo_open)
     else:
         mac_open = geo_open
-    mac_open = mac_open | (r2b <= 3.0 * s2)
+    # containment guard: open any cell the nearest target could be inside
+    # of — the reference's BMAX guard (forcetree.c:1254-1257), tighter
+    # than the sqrt(3)*len bound since it uses the true com-to-corner
+    # distance per node
+    mac_open = mac_open | (r2b <= rows[:, _BMAX2])
     live = (cnt > 0) & ids_ok
     far = live & ~mac_open
     is_small = cnt <= leaf_cap
     seg = live & mac_open & is_small
     deep = live & mac_open & ~is_small
+    return far, seg, deep, cnt
 
-    dacc = dpot = None
-    if not skip_far:
-        tr = trow[gidc]                           # (CH, 256)
-        G = 64
-        tx, ty, tz, teps = (tr[:, 0:G], tr[:, G:2 * G], tr[:, 2 * G:3 * G],
-                            tr[:, 3 * G:4 * G])
-        mfar = jnp.where(far, m, 0.0)
-        d0 = com[:, 0:1] - tx                     # (CH, G): node - target
-        d1 = com[:, 1:2] - ty
-        d2 = com[:, 2:3] - tz
-        r2 = d0 * d0 + d1 * d1 + d2 * d2
-        r = jnp.sqrt(r2)
-        h = 2.8 * jnp.maximum(teps, rows[:, _EPS][:, None])
-        fac = mfar[:, None] * softened_inv_r3(r, h)
-        a0, a1, a2 = fac * d0, fac * d1, fac * d2
-        if need_pot:
-            dpot = mfar[:, None] * softened_potential(r, h)
 
-        # traceless quadrupole, Newtonian range only (forcetree.c:1002-1060)
-        q = rows[:, _QUAD]
-        newton = (r >= h) & far[:, None]
-        r_safe = jnp.maximum(r, 1e-30)
-        ir = jnp.where(newton, 1.0 / r_safe, 0.0)
-        ir2 = ir * ir
-        w5 = ir2 * ir2 * ir
-        w7 = w5 * ir2
-        qxx, qyy, qzz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
-        qxy, qxz, qyz = q[:, 3:4], q[:, 4:5], q[:, 5:6]
-        u0 = qxx * d0 + qxy * d1 + qxz * d2
-        u1 = qxy * d0 + qyy * d1 + qyz * d2
-        u2 = qxz * d0 + qyz * d1 + qzz * d2
-        dqd = d0 * u0 + d1 * u1 + d2 * u2
-        t7 = 2.5 * w7 * dqd
-        a0 = a0 - w5 * u0 + t7 * d0
-        a1 = a1 - w5 * u1 + t7 * d1
-        a2 = a2 - w5 * u2 + t7 * d2
-        dacc = jnp.stack([a0, a1, a2], axis=-1)   # (CH, G, 3)
-        if need_pot:
-            dpot = dpot - 0.5 * dqd * w5
+def _far_eval_chunk(rows, far, ug, trow, ng, need_pot):
+    """Masked monopole+quadrupole on one walk chunk. rows (CH, 16), far
+    mask (CH,), per-unit gids ug (CH/FAR_U,). Returns per-unit partial
+    sums dacc (NU, G, 3) and dpot (NU, G)."""
+    CH = rows.shape[0]
+    NUF = CH // FAR_U
+    G = 64
+    tgt = trow[jnp.clip(ug, 0, ng - 1)]            # (NUF, 256)
+    tr = jnp.repeat(tgt, FAR_U, axis=0)            # (CH, 256)
+    tx, ty, tz, tie = (tr[:, 0:G], tr[:, G:2 * G], tr[:, 2 * G:3 * G],
+                       tr[:, 3 * G:4 * G])         # tie = 1/eps_target
+    m = jnp.where(far, rows[:, _MASS], 0.0)
+    com = rows[:, _COM]
+    d0 = com[:, 0:1] - tx
+    d1 = com[:, 1:2] - ty
+    d2 = com[:, 2:3] - tz
+    r2 = d0 * d0 + d1 * d1 + d2 * d2
+    # h = 2.8*max(eps_t, eps_node): carried as reciprocals so the
+    # spline path needs no divides (1/u^3 * h^-3 == inv_r^3). Node
+    # rows store eps_max directly; its reciprocal is one (CH,) divide.
+    eni = 1.0 / jnp.maximum(rows[:, _EPS], 1e-30)
+    h_inv = jnp.minimum(tie, eni[:, None]) * (1.0 / 2.8)
+    f, inv_r, newton = _spline_force_nodiv(r2, h_inv)
+    fac = m[:, None] * f
+    a0, a1, a2 = fac * d0, fac * d1, fac * d2
 
-    # near-list emission: leaves always; overfull deepest cells as
-    # 16-particle chunks (the 'big' path)
-    starts = rows[:, _NSTART].astype(jnp.int32)
-    kmax = big_chunks if last else 1
-    emit_cnt = jnp.where(seg, cnt, 0)
-    if last:
-        emit_cnt = jnp.where(deep, cnt, emit_cnt)
-    k16 = jnp.arange(kmax, dtype=jnp.int32) * 16
-    ck = jnp.clip(emit_cnt[:, None] - k16[None, :], 0, 16)    # (CH, KMAX)
-    ek = (starts[:, None] + k16[None, :]) * 32 + ck
-    evalid = ck > 0
-    ebig_drop = jnp.where(last & deep, jnp.maximum(cnt - 16 * kmax, 0),
-                          0) if last else jnp.zeros(CH, jnp.int32)
+    # traceless quadrupole, Newtonian range only (forcetree.c:1002-1060);
+    # the quad terms carry no mass factor, so mask via the ir zeroing
+    q = rows[:, _QUAD]
+    nl = newton & far[:, None]
+    ir = jnp.where(nl, inv_r, 0.0)
+    ir2 = ir * ir
+    w5 = ir2 * ir2 * ir
+    w7 = w5 * ir2
+    u0 = q[:, 0:1] * d0 + q[:, 3:4] * d1 + q[:, 4:5] * d2
+    u1 = q[:, 3:4] * d0 + q[:, 1:2] * d1 + q[:, 5:6] * d2
+    u2_ = q[:, 4:5] * d0 + q[:, 5:6] * d1 + q[:, 2:3] * d2
+    dqd = d0 * u0 + d1 * u1 + d2 * u2_
+    t7 = 2.5 * w7 * dqd
+    a0 = a0 - w5 * u0 + t7 * d0
+    a1 = a1 - w5 * u1 + t7 * d1
+    a2 = a2 - w5 * u2_ + t7 * d2
 
-    # child expansion (contiguous child-compacted ranges)
-    cs = rows[:, _CSTART].astype(jnp.int32)
-    cc = rows[:, _CCNT].astype(jnp.int32)
+    def ured(a):                                   # per-unit target sums
+        return jnp.sum(a.reshape(NUF, FAR_U, G), axis=1)
+
+    dacc = jnp.stack([ured(a0), ured(a1), ured(a2)], axis=-1)
+    if need_pot:
+        wp = _spline_pot_nodiv(r2, h_inv, inv_r, newton)
+        dpot = ured(m[:, None] * wp - 0.5 * dqd * w5)
+    else:
+        dpot = jnp.zeros((NUF, G), rows.dtype)
+    return dacc, dpot
+
+
+def _walk_level(qN, qG, n_q, lists, tbl_l, trow, geom, nl_real, s_l,
+                *, cfg, theta2, use_relative, last, ng, need_pot):
+    """One level's walk: classify chunks, run the fused far eval on the
+    accepted pairs in place, emit leaf segments (16-particle ranges,
+    plus big-cell 16-chunks at the last level) and opened cells."""
+    CH = cfg.chunk
+    NUF = CH // FAR_U
+    (acc, pot, n_far, segE, segG, n_seg, opC, opG, n_op, ovf) = lists
+    seg_cap = segE.shape[0] - 1
+    op_cap = opC.shape[0] - 1
+    kmax = cfg.big_chunks if last else 1
+
+    def body(state):
+        (ci, acc, pot, n_far, segE, segG, n_seg, opC, opG, n_op,
+         ovf) = state
+        c0 = ci * CH
+        ids = lax.dynamic_slice(qN, (c0,), (CH,))
+        gid = lax.dynamic_slice(qG, (c0,), (CH,))
+        slot_ok = (jnp.arange(CH, dtype=jnp.int32) + c0) < n_q
+        ids_ok = (ids >= 0) & (ids < nl_real) & slot_ok
+        rows = tbl_l[jnp.clip(ids, 0, tbl_l.shape[0] - 1)]
+        rows = jnp.where(ids_ok[:, None], rows, 0.0)
+        gidc = jnp.clip(gid, 0, ng - 1)
+        geo = geom[gidc]
+        far, seg, deep, cnt = _classify(rows, geo, ids_ok, s_l, theta2,
+                                        use_relative, cfg.leaf_cap)
+        n_far = n_far + jnp.sum(far.astype(jnp.int32))
+
+        if not cfg.skip_far:
+            # the queue is unit-aligned: slot 0 of each 32-slot unit is
+            # live and all live slots of a unit share one group
+            ug = gid.reshape(NUF, FAR_U)[:, 0]
+            dacc, dpot = _far_eval_chunk(rows, far, ug, trow, ng,
+                                         need_pot)
+            useg = jnp.clip(ug, 0, ng - 1)         # dead units: m == 0
+            acc = acc + jax.ops.segment_sum(dacc, useg,
+                                            num_segments=ng)
+            if need_pot:
+                pot = pot + jax.ops.segment_sum(dpot, useg,
+                                                num_segments=ng)
+
+        if not cfg.skip_walk_emit:
+            # seg-list emission (the open emission below always runs so
+            # the queue advances even in profiling mode)
+            starts = rows[:, _NSTART].astype(jnp.int32)
+            emit_cnt = jnp.where(seg, cnt, 0)
+            if last:
+                emit_cnt = jnp.where(deep, cnt, emit_cnt)
+                ovf = ovf.at[2].add(jnp.sum(jnp.where(
+                    deep, jnp.maximum(cnt - 16 * kmax, 0), 0)))
+            k16 = jnp.arange(kmax, dtype=jnp.int32) * 16
+            ck = jnp.clip(emit_cnt[:, None] - k16[None, :], 0, 16)
+            ek = (starts[:, None] + k16[None, :]) * 32 + ck
+            gk = jnp.broadcast_to(gid[:, None], (CH, kmax))
+            segE, segG, n_seg, ovf = _emit_units(
+                segE, segG, n_seg, ek, gk, ck > 0, NEAR_U, ng, seg_cap,
+                ovf, 1)
+
+        if not last:
+            cs = rows[:, _CSTART].astype(jnp.int32)
+            cc = rows[:, _CCNT].astype(jnp.int32)
+            opC, opG, n_op, ovf = _emit2(
+                opC, opG, n_op, cs * 16 + cc, gid, deep, op_cap,
+                ovf, 0)
+        return (ci + 1, acc, pot, n_far, segE, segG, n_seg, opC, opG,
+                n_op, ovf)
+
+    def cond(state):
+        return state[0] * CH < n_q
+
+    state = (jnp.int32(0), acc, pot, n_far, segE, segG, n_seg, opC,
+             opG, n_op, ovf)
+    state = lax.while_loop(cond, body, state)
+    return state[1:]
+
+
+def _expand_opens(opC, opG, n_op, cap_next, ng):
+    """Opened cells -> next level's pair queue (children are contiguous
+    child-compacted ranges at the next level). The emission is
+    UNIT-PADDED by group so the next level's chunks stay unit-aligned
+    (opC is group-major: the walk preserves queue order)."""
+    O = opC.shape[0] - 1
+    val = jnp.arange(O, dtype=jnp.int32) < n_op
+    c = jnp.where(val, opC[:O], 0)
+    cs = c >> 4
+    cc = c & 15
     k8 = jnp.arange(8, dtype=jnp.int32)
     kid = cs[:, None] + k8[None, :]
-    kvalid = deep[:, None] & (k8[None, :] < cc[:, None])
-    if last:
-        kvalid = jnp.zeros_like(kvalid)
-    return (dacc, dpot, gidc, live, ek, evalid, jnp.sum(ebig_drop),
-            kid, kvalid)
+    kvalid = val[:, None] & (k8[None, :] < cc[:, None])
+    g8 = jnp.broadcast_to(opG[:O, None], (O, 8))
+
+    qN = jnp.full(cap_next + 1, -1, jnp.int32)
+    qG = jnp.full(cap_next + 1, ng, jnp.int32)
+    ovf = jnp.zeros(1, jnp.int32)
+    qN, qG, n_q, ovf = _emit_units(
+        qN, qG, jnp.zeros((), jnp.int32), kid, g8, kvalid, FAR_U, ng,
+        cap_next, ovf, 0)
+    return qN, qG, n_q, ovf[0]
 
 
-def _emit(buf, n_buf, vals, valid, cap, ovf, ovf_slot):
-    """Compact `vals[valid]` onto buf[n_buf:...]; returns updated buf,
-    count, ovf. buf has cap+1 slots (last = dump)."""
-    v = valid.reshape(-1)
-    x = vals.reshape(-1)
-    pos = jnp.cumsum(v.astype(jnp.int32)) - 1
-    count = jnp.sum(v.astype(jnp.int32))
-    dest = jnp.where(v, jnp.minimum(n_buf + pos, cap), cap)
-    buf = buf.at[dest].set(jnp.where(v, x, buf[cap]))
-    ovf = ovf.at[ovf_slot].add(jnp.maximum(n_buf + count - cap, 0))
-    return buf, jnp.minimum(n_buf + count, cap), ovf
+# ----------------------------------------------------------------------
+# NEAR pass
+# ----------------------------------------------------------------------
 
-
-@partial(jax.jit,
-         static_argnames=("theta", "use_relative", "cfg", "depth", "n_real",
-                          "ng", "need_pot"))
-def _flat_eval(ftree: FusedTree, planar16, trow, geom, extent,
-               theta: float, use_relative: bool, cfg: FlatConfig,
-               depth: int, n_real: int, ng: int, need_pot: bool):
-    dtype = trow.dtype
-    G = cfg.group_size
-    assert G == 64, "trow packing assumes 64 targets/group"
-    theta2 = theta * theta
-    CH = cfg.chunk
-    l0 = cfg.start_level
-
-    caps_node = [min(8 ** l, n_real) for l in range(depth + 1)]
-    qcaps = _queue_caps(cfg, depth, ng, caps_node)
-    seg_cap = -(-cfg.seg_cap_mult * n_real // cfg.near_chunk) \
-        * cfg.near_chunk
-
-    acc = jnp.zeros((ng, G, 3), dtype)
-    pot = jnp.zeros((ng, G), dtype)
-    segE = jnp.full(seg_cap + 1, IMAX, jnp.int32)
-    segG = jnp.full(seg_cap + 1, ng, jnp.int32)
-    n_seg = jnp.zeros((), jnp.int32)
-    ovf = jnp.zeros(3, jnp.int32)      # queue, seg-list, big-cell drops
-    lvl_pairs = []
-
-    # initial queue: every start-level cell x every group, group-major
-    # (expansion preserves group-major order down the levels)
-    W0 = min(8 ** l0, caps_node[l0])
-    cap0 = qcaps[l0]
-    qN = jnp.full(cap0 + 1, -1, jnp.int32)
-    qN = qN.at[:ng * W0].set(
-        jnp.tile(jnp.arange(W0, dtype=jnp.int32), (ng,)))
-    qG = jnp.full(cap0 + 1, ng, jnp.int32)
-    qG = qG.at[:ng * W0].set(
-        jnp.repeat(jnp.arange(ng, dtype=jnp.int32), W0))
-    n_q = jnp.asarray(ng * W0, jnp.int32)
-
-    def make_level(l, last):
-        tbl_l = ftree.levels[l]
-        nl_real = ftree.n_levels[l]
-        s_l = jnp.asarray(extent / (1 << l), dtype)
-        cap_next = qcaps[min(l + 1, depth)]
-        kmax = cfg.big_chunks if last else 1
-
-        def run(qN, qG, n_q, acc, pot, segE, segG, n_seg, ovf):
-            outN = jnp.full(cap_next + 1, -1, jnp.int32)
-            outG = jnp.full(cap_next + 1, ng, jnp.int32)
-            n_out = jnp.zeros((), jnp.int32)
-
-            def body(state):
-                (ci, acc, pot, outN, outG, n_out, segE, segG, n_seg,
-                 ovf) = state
-                c0 = ci * CH
-                ids = lax.dynamic_slice(qN, (c0,), (CH,))
-                gid = lax.dynamic_slice(qG, (c0,), (CH,))
-                slot_ok = (jnp.arange(CH, dtype=jnp.int32) + c0) < n_q
-                (dacc, dpot, gidc, live, ek, evalid, big_drop, kid,
-                 kvalid) = _level_chunk(
-                    ids, gid, slot_ok, tbl_l, geom, trow, nl_real, s_l,
-                    theta2, use_relative, cfg.leaf_cap, last,
-                    cfg.big_chunks, cfg.skip_far, need_pot, ng, dtype)
-                if dacc is not None:
-                    gseg = jnp.where(live, gidc, ng)
-                    acc = acc + jax.ops.segment_sum(
-                        dacc, gseg, num_segments=ng + 1)[:ng]
-                    if need_pot:
-                        pot = pot + jax.ops.segment_sum(
-                            dpot, gseg, num_segments=ng + 1)[:ng]
-                segE, n_seg2, ovf = _emit(segE, n_seg, ek, evalid,
-                                          seg_cap, ovf, 1)
-                gk = jnp.broadcast_to(gid[:, None], (CH, kmax))
-                segG, _, ovf0 = _emit(segG, n_seg, gk, evalid, seg_cap,
-                                      jnp.zeros(3, jnp.int32), 0)
-                n_seg = n_seg2
-                ovf = ovf.at[2].add(big_drop)
-                if not last:
-                    outN, n_out2, ovf = _emit(outN, n_out, kid, kvalid,
-                                              cap_next, ovf, 0)
-                    gk8 = jnp.broadcast_to(gid[:, None], (CH, 8))
-                    outG, _, _ = _emit(outG, n_out, gk8, kvalid, cap_next,
-                                       jnp.zeros(3, jnp.int32), 0)
-                    n_out = n_out2
-                return (ci + 1, acc, pot, outN, outG, n_out, segE, segG,
-                        n_seg, ovf)
-
-            def cond(state):
-                return state[0] * CH < n_q
-
-            state = (jnp.int32(0), acc, pot, outN, outG, n_out, segE,
-                     segG, n_seg, ovf)
-            state = lax.while_loop(cond, body, state)
-            (_, acc, pot, outN, outG, n_out, segE, segG, n_seg,
-             ovf) = state
-            return outN, outG, n_out, acc, pot, segE, segG, n_seg, ovf
-
-        return run
-
-    # scan deeper uniform-shape levels in ONE body (compile-time control;
-    # see fused_force._fused_eval for the rationale)
-    l_scan = depth
-    while (l_scan - 1 > l0
-           and ftree.levels[l_scan - 1].shape == ftree.levels[depth - 1].shape
-           and qcaps[l_scan - 1] == qcaps[depth - 1]
-           and qcaps[l_scan] == qcaps[depth]):
-        l_scan -= 1
-    if depth - l_scan < 2:
-        l_scan = depth
-
-    for l in range(l0, min(l_scan, depth)):
-        run = make_level(l, last=False)
-        qN, qG, n_q, acc, pot, segE, segG, n_seg, ovf = run(
-            qN, qG, n_q, acc, pot, segE, segG, n_seg, ovf)
-        lvl_pairs.append(n_q)
-
-    if l_scan < depth:
-        cap_s = max(ftree.levels[l].shape[0] for l in range(l_scan, depth))
-        tbls = jnp.stack([
-            jnp.concatenate(
-                [t, jnp.zeros((cap_s - t.shape[0], 16), dtype)])
-            if t.shape[0] < cap_s else t
-            for t in (ftree.levels[l] for l in range(l_scan, depth))])
-        sls = jnp.stack([jnp.asarray(extent / (1 << l), dtype)
-                         for l in range(l_scan, depth)])
-        nls = jnp.stack([jnp.asarray(ftree.n_levels[l], jnp.int32)
-                         for l in range(l_scan, depth)])
-
-        def scan_body(carry, xs):
-            qN, qG, n_q, acc, pot, segE, segG, n_seg, ovf = carry
-            tbl_l, s_l, nl_real = xs
-            cap_next = qcaps[depth - 1]
-
-            # same chunk loop as make_level, parameterized by xs
-            outN = jnp.full(cap_next + 1, -1, jnp.int32)
-            outG = jnp.full(cap_next + 1, ng, jnp.int32)
-            n_out = jnp.zeros((), jnp.int32)
-
-            def body(state):
-                (ci, acc, pot, outN, outG, n_out, segE, segG, n_seg,
-                 ovf) = state
-                c0 = ci * CH
-                ids = lax.dynamic_slice(qN, (c0,), (CH,))
-                gid = lax.dynamic_slice(qG, (c0,), (CH,))
-                slot_ok = (jnp.arange(CH, dtype=jnp.int32) + c0) < n_q
-                (dacc, dpot, gidc, live, ek, evalid, _bd, kid,
-                 kvalid) = _level_chunk(
-                    ids, gid, slot_ok, tbl_l, geom, trow, nl_real, s_l,
-                    theta2, use_relative, cfg.leaf_cap, False,
-                    cfg.big_chunks, cfg.skip_far, need_pot, ng, dtype)
-                if dacc is not None:
-                    gseg = jnp.where(live, gidc, ng)
-                    acc = acc + jax.ops.segment_sum(
-                        dacc, gseg, num_segments=ng + 1)[:ng]
-                    if need_pot:
-                        pot = pot + jax.ops.segment_sum(
-                            dpot, gseg, num_segments=ng + 1)[:ng]
-                segE, n_seg2, ovf = _emit(segE, n_seg, ek, evalid,
-                                          seg_cap, ovf, 1)
-                segG, _, _ = _emit(segG, n_seg, gid[:, None], evalid,
-                                   seg_cap, jnp.zeros(3, jnp.int32), 0)
-                n_seg = n_seg2
-                outN, n_out2, ovf = _emit(outN, n_out, kid, kvalid,
-                                          cap_next, ovf, 0)
-                gk8 = jnp.broadcast_to(gid[:, None], (CH, 8))
-                outG, _, _ = _emit(outG, n_out, gk8, kvalid, cap_next,
-                                   jnp.zeros(3, jnp.int32), 0)
-                return (ci + 1, acc, pot, outN, outG, n_out2, segE, segG,
-                        n_seg, ovf)
-
-            def cond(state):
-                return state[0] * CH < n_q
-
-            state = (jnp.int32(0), acc, pot, outN, outG, n_out, segE,
-                     segG, n_seg, ovf)
-            state = lax.while_loop(cond, body, state)
-            (_, acc, pot, outN, outG, n_out, segE, segG, n_seg,
-             ovf) = state
-            return ((outN, outG, n_out, acc, pot, segE, segG, n_seg, ovf),
-                    n_out)
-
-        carry = (qN, qG, n_q, acc, pot, segE, segG, n_seg, ovf)
-        carry, npairs = lax.scan(scan_body, carry, (tbls, sls, nls))
-        qN, qG, n_q, acc, pot, segE, segG, n_seg, ovf = carry
-        lvl_pairs.append(jnp.max(npairs))
-
-    # deepest level: no expansion, big cells chunked into the near list
-    run = make_level(depth, last=True)
-    _, _, _, acc, pot, segE, segG, n_seg, ovf = run(
-        qN, qG, n_q, acc, pot, segE, segG, n_seg, ovf)
-
-    if not cfg.skip_near:
-        acc, pot = _near_pass(acc, pot, segE, segG, n_seg, planar16, trow,
-                              cfg, ng, need_pot)
-
-    info = dict(ovf_open=ovf[0], ovf_seg=ovf[1], ovf_big=ovf[2],
-                n_segs=n_seg,
-                max_pairs=jnp.max(jnp.stack(lvl_pairs)) if lvl_pairs
-                else jnp.zeros((), jnp.int32))
-    return acc, pot, info
-
-
-def _near_pass(acc, pot, segE, segG, n_seg, planar16, trow,
-               cfg: FlatConfig, ng: int, need_pot: bool):
-    """Flat near-field pass over the cross-level segment list.
-
-    Entries are packed start*32+cnt (cnt<=16); particles come from
-    planar-by-16 rows (two consecutive rows cover any off+cnt<=31
-    window)."""
+def _near_pass(acc, pot, segE, segG, n_seg, planar16, trow, cfg, ng,
+               need_pot):
+    """Flat near-field pass over the cross-level segment list. Entries are
+    packed start*32+cnt (cnt<=16); two consecutive planar-by-16 rows cover
+    any off+cnt<=31 window."""
     NC = cfg.near_chunk
+    NUN = NC // NEAR_U
     G = 64
-    dtype = trow.dtype
     n16 = planar16.shape[0]
 
     def body(state):
@@ -438,6 +415,7 @@ def _near_pass(acc, pot, segE, segG, n_seg, planar16, trow,
         c0 = ci * NC
         e = lax.dynamic_slice(segE, (c0,), (NC,))
         g = lax.dynamic_slice(segG, (c0,), (NC,))
+        ug = g.reshape(NUN, NEAR_U)[:, 0]          # unit gid (live slot 0)
         live = e != IMAX
         ev = jnp.where(live, e, 0)
         start = ev >> 5
@@ -452,34 +430,38 @@ def _near_pass(acc, pot, segE, segG, n_seg, planar16, trow,
                                     rows[:, 1, 16 * f:16 * (f + 1)]],
                                    axis=-1)                  # (NC, 32)
 
-        yx, yy, yz, ym, yeps = (field(0), field(1), field(2), field(3),
-                                field(4))
+        yx, yy, yz, ym, yei = (field(0), field(1), field(2), field(3),
+                               field(4))           # yei = 1/eps_particle
         slot = jnp.arange(32, dtype=jnp.int32)
         ok = (slot[None, :] >= off[:, None]) \
             & (slot[None, :] < (off + cnt)[:, None])
-        ym = jnp.where(ok, ym, 0.0)
+        ym = jnp.where(ok & live[:, None], ym, 0.0)
 
-        gc = jnp.clip(g, 0, ng - 1)
-        tr = trow[gc]
-        tx, ty, tz, teps = (tr[:, 0:G], tr[:, G:2 * G], tr[:, 2 * G:3 * G],
-                            tr[:, 3 * G:4 * G])
-        # (NC, G, 32): node-particle minus target
+        tgt = trow[jnp.clip(ug, 0, ng - 1)]        # (NUN, 256)
+        tr = jnp.repeat(tgt, NEAR_U, axis=0)       # (NC, 256)
+        tx, ty, tz, tie = (tr[:, 0:G], tr[:, G:2 * G], tr[:, 2 * G:3 * G],
+                           tr[:, 3 * G:4 * G])
+        # (NC, G, 32): leaf particle minus target
         d0 = yx[:, None, :] - tx[:, :, None]
         d1 = yy[:, None, :] - ty[:, :, None]
         d2 = yz[:, None, :] - tz[:, :, None]
         r2 = d0 * d0 + d1 * d1 + d2 * d2
-        r = jnp.sqrt(r2)
-        h = 2.8 * jnp.maximum(teps[:, :, None], yeps[:, None, :])
-        fac = ym[:, None, :] * softened_inv_r3(r, h)
-        dacc = jnp.stack([jnp.sum(fac * d0, -1), jnp.sum(fac * d1, -1),
-                          jnp.sum(fac * d2, -1)], axis=-1)   # (NC, G, 3)
-        gseg = jnp.where(live, gc, ng)
-        acc = acc + jax.ops.segment_sum(dacc, gseg,
-                                        num_segments=ng + 1)[:ng]
+        h_inv = jnp.minimum(tie[:, :, None], yei[:, None, :]) * (1.0 / 2.8)
+        f, inv_r, newton = _spline_force_nodiv(r2, h_inv)
+        fac = ym[:, None, :] * f
+
+        def ured(a):       # (NC, G) -> per-unit target sums (NUN, G)
+            return jnp.sum(a.reshape(NUN, NEAR_U, G), axis=1)
+
+        dacc = jnp.stack([ured(jnp.sum(fac * d0, -1)),
+                          ured(jnp.sum(fac * d1, -1)),
+                          ured(jnp.sum(fac * d2, -1))], axis=-1)
+        useg = jnp.clip(ug, 0, ng - 1)             # dead entries: ym == 0
+        acc = acc + jax.ops.segment_sum(dacc, useg, num_segments=ng)
         if need_pot:
-            dpot = jnp.sum(ym[:, None, :] * softened_potential(r, h), -1)
-            pot = pot + jax.ops.segment_sum(dpot, gseg,
-                                            num_segments=ng + 1)[:ng]
+            wp = _spline_pot_nodiv(r2, h_inv, inv_r, newton)
+            dpot = ured(jnp.sum(ym[:, None, :] * wp, -1))
+            pot = pot + jax.ops.segment_sum(dpot, useg, num_segments=ng)
         return ci + 1, acc, pot
 
     def cond(state):
@@ -487,6 +469,151 @@ def _near_pass(acc, pot, segE, segG, n_seg, planar16, trow,
 
     _, acc, pot = lax.while_loop(cond, body, (jnp.int32(0), acc, pot))
     return acc, pot
+
+
+# ----------------------------------------------------------------------
+# driver
+# ----------------------------------------------------------------------
+
+@partial(jax.jit,
+         static_argnames=("theta", "use_relative", "cfg", "depth", "n_real",
+                          "ng", "need_pot"))
+def _flat_eval(ftree: FusedTree, planar16, trow, geom, extent, drift,
+               theta: float, use_relative: bool, cfg: FlatConfig,
+               depth: int, n_real: int, ng: int, need_pot: bool):
+    dtype = trow.dtype
+    G = cfg.group_size
+    assert G == 64, "trow packing assumes 64 targets/group"
+    theta2 = theta * theta
+    l0 = cfg.start_level
+
+    caps_node = [min(8 ** l, n_real) for l in range(depth + 1)]
+    qcaps = _queue_caps(cfg, depth, ng, caps_node)
+    seg_cap = -(-cfg.seg_cap_mult * n_real // cfg.near_chunk) \
+        * cfg.near_chunk
+
+    acc = jnp.zeros((ng, G, 3), dtype)
+    pot = jnp.zeros((ng, G), dtype)
+    segE = jnp.full(seg_cap + 1, IMAX, jnp.int32)
+    segG = jnp.full(seg_cap + 1, ng, jnp.int32)
+    n_far = jnp.zeros((), jnp.int32)
+    n_seg = jnp.zeros((), jnp.int32)
+    # ovf slots: 0 = open/queue drops, 1 = seg drops, 2 = big drops,
+    # 3 = spare
+    ovf = jnp.zeros(4, jnp.int32)
+
+    # initial queue: every start-level cell x every group, group-major;
+    # per-group runs are padded to a FAR_U multiple (dead id -1) so the
+    # queue starts unit-aligned even when the start level is small
+    W0 = min(8 ** l0, caps_node[l0])
+    W0p = -(-W0 // FAR_U) * FAR_U
+    cap0 = qcaps[l0]
+    qN = jnp.full(cap0 + 1, -1, jnp.int32)
+    row0 = jnp.where(jnp.arange(W0p, dtype=jnp.int32) < W0,
+                     jnp.arange(W0p, dtype=jnp.int32), -1)
+    qN = qN.at[:ng * W0p].set(jnp.tile(row0, (ng,)))
+    qG = jnp.full(cap0 + 1, ng, jnp.int32)
+    qG = qG.at[:ng * W0p].set(
+        jnp.repeat(jnp.arange(ng, dtype=jnp.int32), W0p))
+    n_q = jnp.asarray(ng * W0p, jnp.int32)
+    lvl_pairs = [n_q]
+
+    # scan deeper uniform-shape levels in ONE body (compile-time control)
+    l_scan = depth
+    while (l_scan - 1 > l0
+           and ftree.levels[l_scan - 1].shape
+           == ftree.levels[depth - 1].shape
+           and qcaps[l_scan - 1] == qcaps[depth - 1]
+           and qcaps[l_scan] == qcaps[depth - 1]):
+        l_scan -= 1
+    if depth - l_scan < 2:
+        l_scan = depth
+
+    def level_step(qN, qG, n_q, lists, tbl_l, nl_real, s_l, cap_next,
+                   last):
+        lists = _walk_level(
+            qN, qG, n_q, lists, tbl_l, trow, geom, nl_real, s_l,
+            cfg=cfg, theta2=theta2, use_relative=use_relative, last=last,
+            ng=ng, need_pot=need_pot)
+        (acc, pot, n_far, segE, segG, n_seg, opC, opG, n_op, ovf) = lists
+        if not last:
+            qN, qG, n_q, drop = _expand_opens(opC, opG, n_op, cap_next,
+                                              ng)
+            ovf = ovf.at[0].add(drop)
+        return (qN, qG, n_q,
+                (acc, pot, n_far, segE, segG, n_seg, opC, opG,
+                 jnp.zeros((), jnp.int32), ovf))
+
+    lvl_far = [n_far]
+    for l in range(l0, min(l_scan, depth)):
+        op_cap = qcaps[min(l + 1, depth)] // 8 + cfg.chunk
+        opC = jnp.full(op_cap + 1, 0, jnp.int32)
+        opG = jnp.full(op_cap + 1, ng, jnp.int32)
+        lists = (acc, pot, n_far, segE, segG, n_seg, opC, opG,
+                 jnp.zeros((), jnp.int32), ovf)
+        qN, qG, n_q, lists = level_step(
+            qN, qG, n_q, lists, ftree.levels[l], ftree.n_levels[l],
+            jnp.asarray(extent / (1 << l) + 2.0 * drift, dtype),
+            qcaps[min(l + 1, depth)], last=False)
+        (acc, pot, n_far, segE, segG, n_seg, _, _, _, ovf) = lists
+        lvl_pairs.append(n_q)
+        lvl_far.append(n_far)
+
+    if l_scan < depth:
+        cap_s = max(ftree.levels[l].shape[0] for l in range(l_scan, depth))
+        tbls = jnp.stack([
+            jnp.concatenate(
+                [t, jnp.zeros((cap_s - t.shape[0], 16), dtype)])
+            if t.shape[0] < cap_s else t
+            for t in (ftree.levels[l] for l in range(l_scan, depth))])
+        sls = jnp.stack([jnp.asarray(extent / (1 << l) + 2.0 * drift, dtype)
+                         for l in range(l_scan, depth)])
+        nls = jnp.stack([jnp.asarray(ftree.n_levels[l], jnp.int32)
+                         for l in range(l_scan, depth)])
+        cap_next = qcaps[depth - 1]
+        op_cap = cap_next // 8 + cfg.chunk
+
+        def scan_body(carry, xs):
+            (qN, qG, n_q, acc, pot, n_far, segE, segG, n_seg,
+             ovf) = carry
+            tbl_l, s_l, nl_real = xs
+            opC = jnp.full(op_cap + 1, 0, jnp.int32)
+            opG = jnp.full(op_cap + 1, ng, jnp.int32)
+            lists = (acc, pot, n_far, segE, segG, n_seg, opC, opG,
+                     jnp.zeros((), jnp.int32), ovf)
+            qN, qG, n_q, lists = level_step(
+                qN, qG, n_q, lists, tbl_l, nl_real, s_l, cap_next,
+                last=False)
+            (acc, pot, n_far, segE, segG, n_seg, _, _, _, ovf) = lists
+            return ((qN, qG, n_q, acc, pot, n_far, segE, segG, n_seg,
+                     ovf), n_q)
+
+        carry = (qN, qG, n_q, acc, pot, n_far, segE, segG, n_seg, ovf)
+        carry, nqs = lax.scan(scan_body, carry, (tbls, sls, nls))
+        (qN, qG, n_q, acc, pot, n_far, segE, segG, n_seg, ovf) = carry
+        lvl_pairs.append(jnp.max(nqs))
+
+    # deepest level: no expansion, big cells chunked into the near list
+    opC = jnp.zeros(1 + 1, jnp.int32)
+    opG = jnp.full(1 + 1, ng, jnp.int32)
+    lists = (acc, pot, n_far, segE, segG, n_seg, opC, opG,
+             jnp.zeros((), jnp.int32), ovf)
+    _, _, _, lists = level_step(
+        qN, qG, n_q, lists, ftree.levels[depth], ftree.n_levels[depth],
+        jnp.asarray(extent / (1 << depth) + 2.0 * drift, dtype), 1,
+        last=True)
+    (acc, pot, n_far, segE, segG, n_seg, _, _, _, ovf) = lists
+
+    if not cfg.skip_near:
+        acc, pot = _near_pass(acc, pot, segE, segG, n_seg, planar16,
+                              trow, cfg, ng, need_pot)
+
+    info = dict(ovf_open=ovf[0], ovf_seg=ovf[1], ovf_big=ovf[2],
+                n_segs=n_seg, n_far=n_far,
+                max_pairs=jnp.max(jnp.stack(lvl_pairs)),
+                lvl_pairs=jnp.stack(lvl_pairs),
+                lvl_far=jnp.stack(lvl_far))
+    return acc, pot, info
 
 
 def flat_gravity_tree(tree: Octree, mass, eps, old_acc, *, theta=0.5,
@@ -547,13 +674,16 @@ def flat_gravity_tree(tree: Octree, mass, eps, old_acc, *, theta=0.5,
     oac = jnp.min(jnp.where(gvalid & (goac > 0), goac, big), axis=1)
     oac = jnp.where(jnp.any(gvalid & (goac > 0), axis=1), oac, 0.0)
 
+    # packed target rows carry 1/eps (the far pass needs only reciprocals)
     trow = jnp.concatenate([gtargets[:, :, 0], gtargets[:, :, 1],
-                            gtargets[:, :, 2], geps], axis=1)  # (ngp, 256)
+                            gtargets[:, :, 2],
+                            1.0 / jnp.maximum(geps, 1e-30)],
+                           axis=1)                     # (ngp, 256)
     geom = jnp.concatenate([glo, ghi, oac[:, None],
                             jnp.zeros((ngp, 1), dtype)], axis=1)
 
     acc_g, pot_g, info = _flat_eval(
-        ftree, planar16, trow, geom, tree.extent, float(theta),
+        ftree, planar16, trow, geom, tree.extent, tree.drift, float(theta),
         bool(opening == 1), cfg, depth, int(n), int(ngp), bool(need_pot))
 
     didx = jnp.where(gvalid, pidx, n).reshape(-1)

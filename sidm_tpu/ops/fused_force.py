@@ -135,6 +135,16 @@ def pack_tree(tree: Octree) -> FusedTree:
         mac = tree.mac_rows[sl]
         quad = tree.quad_rows[sl]
         child_local = tree.child_start[sl] - (offs[l + 1] if l < depth else 0)
+        # bmax^2: max distance from the COM to any point of the cell,
+        # bounded by |com - center| + (sqrt(3)/2) len — the reference's
+        # BMAX guard for the relative criterion (forcetree.c:1254-1257).
+        # tree.drift (nonzero on a refreshed frozen topology) inflates the
+        # bound: particles may sit outside their nominal cell by the
+        # accumulated displacement (forcetree.c MaxNodeMove analog).
+        s_col = quad[:, 7:8]                         # cell size
+        bmax = (jnp.linalg.norm(mac[:, 0:3] - mac[:, 4:7], axis=1,
+                                keepdims=True)
+                + 0.8660255 * s_col + tree.drift)
         row = jnp.concatenate([
             mac[:, 0:3],                                 # com
             mac[:, 3:4],                                 # mass
@@ -144,7 +154,7 @@ def pack_tree(tree: Octree) -> FusedTree:
             tree.child_count[sl, None].astype(dtype),
             quad[:, 0:6],                                # quadrupole
             quad[:, 6:7],                                # eps_max
-            jnp.zeros((mac.shape[0], 1), dtype),
+            bmax * bmax,
         ], axis=1)
         levels.append(row)
 
@@ -460,8 +470,9 @@ def _expand_open(openk, ovf, *, Wn, cfg, NB, GB, ng):
 @partial(jax.jit, static_argnames=("theta", "use_relative", "cfg", "depth",
                                    "n_real", "need_pot"))
 def _fused_eval(ftree: FusedTree, gtargets, geps, glo, ghi, oac, gvalid,
-                extent, theta: float, use_relative: bool, cfg: FusedConfig,
-                depth: int, n_real: int, need_pot: bool = True):
+                extent, drift, theta: float, use_relative: bool,
+                cfg: FusedConfig, depth: int, n_real: int,
+                need_pot: bool = True):
     """The fused walk+eval over all levels. All group arrays are padded to a
     multiple of cfg.group_block groups.
 
@@ -527,7 +538,7 @@ def _fused_eval(ftree: FusedTree, gtargets, geps, glo, ghi, oac, gvalid,
         W = ws[l]
         acc, pot, n_seg_total, openk, _ = _level_pass(
             fids, live_w, acc, pot, n_seg_total, ftree.levels[l],
-            extent / (1 << l), ftree.n_levels[l],
+            extent / (1 << l) + 2.0 * drift, ftree.n_levels[l],
             W=W, WC=min(cfg.wc, W), last=False, **common)
         fids, live_w, ovf, mo = _expand_open(
             openk, ovf, Wn=ws[l + 1], cfg=cfg, NB=NB, GB=GB, ng=ng)
@@ -541,7 +552,7 @@ def _fused_eval(ftree: FusedTree, gtargets, geps, glo, ghi, oac, gvalid,
                 t, jnp.zeros((cap_s - t.shape[0], 16), dtype)])
             if t.shape[0] < cap_s else t
             for t in (ftree.levels[l] for l in range(l_scan, depth))])
-        sls = jnp.stack([jnp.asarray(extent / (1 << l), dtype)
+        sls = jnp.stack([jnp.asarray(extent / (1 << l) + 2.0 * drift, dtype)
                          for l in range(l_scan, depth)])
         nls = jnp.stack([jnp.asarray(ftree.n_levels[l], jnp.int32)
                          for l in range(l_scan, depth)])
@@ -566,7 +577,7 @@ def _fused_eval(ftree: FusedTree, gtargets, geps, glo, ghi, oac, gvalid,
     tbl = ftree.levels[depth]
     acc, pot, n_seg_total, _, bigk = _level_pass(
         fids, live_w, acc, pot, n_seg_total, tbl,
-        extent / (1 << depth), ftree.n_levels[depth],
+        extent / (1 << depth) + 2.0 * drift, ftree.n_levels[depth],
         W=W, WC=min(cfg.wc, W), last=True, **common)
 
     # overfull deepest cells -> 16-particle chunks, same near pass
@@ -766,7 +777,7 @@ def fused_gravity_tree(tree, mass, eps, old_acc, *, theta=0.5, opening=1,
 
     acc_g, pot_g, info = _fused_eval(
         ftree, gtargets, geps, glo, ghi, oac, gvalid, tree.extent,
-        float(theta), bool(opening == 1), cfg, depth, int(n),
+        tree.drift, float(theta), bool(opening == 1), cfg, depth, int(n),
         bool(need_pot))
 
     # scatter slots back to sorted particle order (dump row n for dead

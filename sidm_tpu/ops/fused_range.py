@@ -428,7 +428,10 @@ def sidm_scatter_fused(p, pos_pred, tree: Octree, time, active, vmax, key,
     far_here = tree.origin + 4.0 * tree.extent
     glo = jnp.where(any_v[:, None], glo, far_here)
     ghi = jnp.where(any_v[:, None], ghi, far_here)
-    pad = jnp.max(jnp.where(live_t, gh, 0.0), axis=1)
+    # tree.drift inflates the containment pad on a refreshed frozen
+    # topology: leaf particles can sit outside their nominal cell by the
+    # accumulated displacement since the topology build
+    pad = jnp.max(jnp.where(live_t, gh, 0.0), axis=1) + tree.drift
 
     ptot, ncnt, bestk, bestj, ovf = _range_eval(
         rt, gt, gv, gh, gdt, gty, gidx, glo, ghi, pad, tree.extent,

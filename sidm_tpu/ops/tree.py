@@ -51,7 +51,7 @@ U32 = jnp.uint32
     data_fields=["perm", "pos_s", "mass_s", "eps_s", "keys_s", "part_rows",
                  "mac_rows", "quad_rows", "node_start", "node_count",
                  "child_start", "child_count", "n_nodes", "origin",
-                 "extent"],
+                 "extent", "bound_level", "drift"],
     meta_fields=["level_offsets", "depth"],
 )
 @dataclass
@@ -74,6 +74,10 @@ class Octree:
     n_nodes: List[jax.Array]     # per level () int32 real node count
     origin: jax.Array        # (3,)
     extent: jax.Array        # ()
+    bound_level: jax.Array   # (N,) int32 shallowest level at which the
+                             # particle starts a new Morton segment
+    drift: jax.Array         # () accumulated max displacement since the
+                             # topology was built (refresh_octree)
     level_offsets: tuple     # static flat offset of each level
     depth: int               # static
 
@@ -141,6 +145,7 @@ def build_octree(pos, mass, eps, valid, *, box=0.0, depth: int = 10,
         m_valid * x * y, m_valid * x * z, m_valid * y * z,
         valid_s.astype(dtype)], axis=1)                      # (N, 11)
 
+    bound_level = jnp.full(n, depth + 1, jnp.int32).at[0].set(0)
     for l in range(depth + 1):
         if l <= d_hi:
             pref = keys_s >> U32(3 * (d_hi - l))
@@ -150,6 +155,10 @@ def build_octree(pos, mass, eps, valid, *, box=0.0, depth: int = 10,
             bnd = (keys_s[1:] != keys_s[:-1]) | (pref[1:] != pref[:-1])
         boundary = jnp.concatenate([
             jnp.ones(1, jnp.int32), bnd.astype(jnp.int32)])
+        # shallowest boundary level per particle (Morton prefixes nest),
+        # cached so refresh_octree can rebuild segment ids without a sort
+        bound_level = jnp.minimum(bound_level,
+                                  jnp.where(boundary > 0, l, depth + 1))
         seg = jnp.cumsum(boundary) - 1
         seg_list.append(seg)
         cap = caps[l]
@@ -237,5 +246,88 @@ def build_octree(pos, mass, eps, valid, *, box=0.0, depth: int = 10,
         node_start=node_start, node_count=node_count,
         child_start=child_start, child_count=child_count,
         n_nodes=n_nodes, level_offsets=tuple(offs[:-1]),
-        origin=origin, extent=extent, depth=depth,
+        origin=origin, extent=extent, bound_level=bound_level,
+        drift=jnp.zeros((), dtype), depth=depth,
     )
+
+
+def refresh_octree(tree: Octree, pos, mass, eps, valid) -> Octree:
+    """Moments-only tree refresh on a FROZEN topology: the Morton
+    permutation, segment structure, child links, particle ranges and
+    geometric centers are reused; center of mass, mass, quadrupole and
+    eps_max are recomputed exactly from the new positions.
+
+    This is the TPU analog of the reference's dynamic node updates
+    (force_update_node + MaxNodeMove, nbody/forcetree.c:433-571,941-948;
+    rebuild cadence gravtree.c:63): between rebuilds, nodes carry exact
+    moments but stale geometry. The accumulated ``drift`` (max particle
+    displacement since the build) is returned on the tree so the walk
+    can inflate cell sizes / containment bounds conservatively."""
+    import dataclasses
+
+    dtype = tree.pos_s.dtype
+    n = pos.shape[0]
+    depth = tree.depth
+    perm = tree.perm
+    pos_s = pos[perm]
+    valid_s = valid[perm]
+    mass_s = jnp.where(valid_s, mass[perm], 0.0)
+    eps_s = eps[perm]
+
+    d = pos_s - tree.pos_s
+    step_move = jnp.sqrt(jnp.max(jnp.where(
+        valid_s, jnp.sum(d * d, axis=1), 0.0)))
+    drift = tree.drift + step_move
+
+    caps = _level_caps(n, depth)
+    offs = level_offsets(n, depth)
+
+    x, y, z = pos_s[:, 0], pos_s[:, 1], pos_s[:, 2]
+    prods = jnp.stack([
+        mass_s, mass_s * x, mass_s * y, mass_s * z,
+        mass_s * x * x, mass_s * y * y, mass_s * z * z,
+        mass_s * x * y, mass_s * x * z, mass_s * y * z], axis=1)
+
+    blvl = tree.bound_level
+    mac_parts, quad_parts = [], []
+    for l in range(depth + 1):
+        cap = caps[l]
+        seg = jnp.cumsum((blvl <= l).astype(jnp.int32)) - 1
+        segc = jnp.clip(seg, 0, cap - 1)
+        sums = jax.ops.segment_sum(prods, segc, num_segments=cap,
+                                   indices_are_sorted=True)
+        sm = sums[:, 0]
+        com = sums[:, 1:4] / jnp.maximum(sm, 1e-30)[:, None]
+        sxx = sums[:, 4] - sm * com[:, 0] * com[:, 0]
+        syy = sums[:, 5] - sm * com[:, 1] * com[:, 1]
+        szz = sums[:, 6] - sm * com[:, 2] * com[:, 2]
+        sxy = sums[:, 7] - sm * com[:, 0] * com[:, 1]
+        sxz = sums[:, 8] - sm * com[:, 0] * com[:, 2]
+        syz = sums[:, 9] - sm * com[:, 1] * com[:, 2]
+        tr = sxx + syy + szz
+        emax = jax.ops.segment_max(jnp.where(valid_s, eps_s, 0.0), segc,
+                                   num_segments=cap,
+                                   indices_are_sorted=True)
+        sl = slice(offs[l], offs[l] + cap)
+        old_mac = tree.mac_rows[sl]
+        center = old_mac[:, 4:7]
+        cnt_col = old_mac[:, 7:8]
+        com = jnp.where((sm > 0)[:, None], com, center)
+        mac_parts.append(jnp.concatenate(
+            [com, sm[:, None], center, cnt_col], axis=1))
+        s_col = tree.quad_rows[sl, 7:8]
+        quad_parts.append(jnp.concatenate([
+            jnp.stack([3 * sxx - tr, 3 * syy - tr, 3 * szz - tr,
+                       3 * sxy, 3 * sxz, 3 * syz], axis=1),
+            emax[:, None], s_col], axis=1))
+
+    part_rows = jnp.concatenate([
+        pos_s, mass_s[:, None], eps_s[:, None],
+        jnp.zeros((n, 3), dtype)], axis=1)
+
+    return dataclasses.replace(
+        tree, pos_s=pos_s, mass_s=mass_s, eps_s=eps_s,
+        part_rows=part_rows,
+        mac_rows=jnp.concatenate(mac_parts, axis=0),
+        quad_rows=jnp.concatenate(quad_parts, axis=0),
+        drift=drift)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys as _sys
 import time as _wallclock
 from functools import partial
 from typing import Callable, Optional
@@ -348,7 +349,7 @@ class Simulation:
         boxv = cfg.BoxSize if cfg.PeriodicBoundariesOn else None
         ewald = self._ewald_table()
 
-        from .ops.tree import build_octree
+        from .ops.tree import build_octree, refresh_octree
         from .ops.treeforce import WalkConfig, eval_targets
 
         wcfg = WalkConfig()
@@ -356,10 +357,15 @@ class Simulation:
         if use_fused:
             from .ops.fused_force import (FusedConfig, default_depth,
                                           fused_gravity_tree)
-            fcfg = FusedConfig(group_block=256)
+            # default blocking (group_block=32): measured 9.3 s/force vs
+            # 21.4 s at group_block=256 on NFW 1e6 (per-block live-width
+            # bounds need small cost-homogeneous blocks)
+            fcfg = FusedConfig()
 
-        @partial(jax.jit, static_argnums=())
-        def phase_force(p: Particles, vmax):
+        def _force_core(p: Particles, vmax, tree_in):
+            """Shared body of the force phase. tree_in None = fresh
+            topology build; otherwise moments-only refresh_octree on the
+            frozen topology (lazy-rebuild cadence, cfg.TreeRefreshSteps)."""
             t_next = jnp.minimum(integrate.find_next_time(p), time_max)
             active = integrate.active_mask(p, t_next)
             pos_pred, vel_pred = integrate.predict_positions(p, t_next,
@@ -369,8 +375,12 @@ class Simulation:
             n = pos_pred.shape[0]
             if use_fused:
                 # one deep tree shared by gravity and the SIDM range walk
-                tree = build_octree(pos_pred, mass, eps, p.valid,
-                                    box=0.0, depth=default_depth(n))
+                if tree_in is None:
+                    tree = build_octree(pos_pred, mass, eps, p.valid,
+                                        box=0.0, depth=default_depth(n))
+                else:
+                    tree = refresh_octree(tree_in, pos_pred, mass, eps,
+                                          p.valid)
                 raw_acc, pot = fused_gravity_tree(
                     tree, mass, eps, p.old_acc,
                     theta=cfg.ErrTolTheta,
@@ -378,6 +388,7 @@ class Simulation:
                     err_tol_force_acc=cfg.ErrTolForceAcc,
                     config=fcfg, need_pot=False)
             else:
+                del tree_in  # legacy periodic path rebuilds every step
                 tree = build_octree(pos_pred, mass, eps, p.valid,
                                     box=boxv or 0.0)
                 toac = (p.old_acc[tree.perm]
@@ -403,6 +414,14 @@ class Simulation:
             )
             return p, t_next, active, pos_pred, tree
 
+        @partial(jax.jit, static_argnums=())
+        def phase_force(p: Particles, vmax):
+            return _force_core(p, vmax, None)
+
+        @partial(jax.jit, static_argnums=())
+        def phase_force_refresh(p: Particles, vmax, tree_in):
+            return _force_core(p, vmax, tree_in)
+
         @partial(jax.jit, static_argnums=(4,))
         def phase_finish(p: Particles, t_next, active, vmax, first):
             p = integrate.advance(p, t_next, active, consts)
@@ -421,7 +440,7 @@ class Simulation:
             n_active = jnp.sum(active.astype(jnp.int32))
             return p, vmax_new, n_active
 
-        return phase_force, phase_finish
+        return phase_force, phase_force_refresh, phase_finish
 
     def _sidm_params_for_phased(self):
         from .ops.sidm import SidmParams
@@ -439,16 +458,56 @@ class Simulation:
             omega_lambda=cfg.OmegaLambda,
             log_events=bool(cfg.ScatterLog))
 
+    _PHASE_TIMING = bool(int(os.environ.get("SIDM_TPU_PHASE_TIMING", "0")))
+
     def step_phased(self, first: bool = False):
         from .ops.sidm_tree import sidm_scatter_tree
+
+        def _mark(label, *sync):
+            # FdCPU-style per-phase wall timing (run.c:250-285), opt-in
+            # because the block_until_ready syncs serialize the phases
+            if self._PHASE_TIMING:
+                for x in sync:
+                    jax.block_until_ready(x)
+                now = _wallclock.perf_counter()
+                if label:
+                    print(f"#phase {label:<10s} {now - self._t_mark:8.3f}s",
+                          file=_sys.stderr, flush=True)
+                self._t_mark = now
+
         if getattr(self, "_phases", None) is None:
             self._phases = self._build_phases()
-        phase_force, phase_finish = self._phases
+            self._tree_cache = None
+            self._refresh_left = 0
+        phase_force, phase_force_refresh, phase_finish = self._phases
         key = step_key(self.root_key,
                        0x7FFFFFFF if first else self.step_count)
         vmax = jnp.asarray(self.vmax, self.dtype)
 
-        p, t_next, active, pos_pred, tree = phase_force(self.particles, vmax)
+        # lazy-rebuild cadence (cfg.TreeRefreshSteps; the reference's
+        # gravtree.c:63 rebuild-vs-update decision): reuse the frozen
+        # Morton topology for K-1 forces, recomputing exact moments and
+        # letting the walk inflate its guards by the accumulated drift
+        use_fused = (self.cfg.ForceMethod == "tree"
+                     and not self.cfg.PeriodicBoundariesOn)
+        self._t_mark = _wallclock.perf_counter()
+        if (use_fused and not first and self._refresh_left > 0
+                and self._tree_cache is not None):
+            p, t_next, active, pos_pred, tree = phase_force_refresh(
+                self.particles, vmax, self._tree_cache)
+            self._refresh_left -= 1
+            # drift safety: rebuild early once the conservative guard
+            # inflation reaches the deepest cell size (walk cost blows
+            # up well before correctness ever could)
+            s_deep = float(tree.extent) / (1 << tree.depth)
+            if float(tree.drift) > 0.25 * s_deep:
+                self._refresh_left = 0
+        else:
+            p, t_next, active, pos_pred, tree = phase_force(
+                self.particles, vmax)
+            self._refresh_left = max(0, int(self.cfg.TreeRefreshSteps) - 1)
+        self._tree_cache = tree if use_fused else None
+        _mark("force", p.accel)
 
         n_scat = 0
         events = None
@@ -468,8 +527,10 @@ class Simulation:
                 p, n_scat, events = out
             else:
                 p, n_scat = out
+            _mark("sidm", n_scat)
 
         p, vmax_new, n_active = phase_finish(p, t_next, active, vmax, first)
+        _mark("finish", p.max_pred_time)
         self.particles = p
         prev_time = self.time
         self.time = float(t_next)

@@ -1,0 +1,137 @@
+"""Lazy tree refresh (refresh_octree): moments-only rebuild on a frozen
+Morton topology, with walk guards inflated by the accumulated drift.
+
+TPU analog of the reference's dynamic node updates + rebuild cadence
+(nbody/forcetree.c:433-571,941-948; nbody/gravtree.c:63): between
+topology rebuilds the nodes carry EXACT moments (better than the
+reference, which drifts stale moments) while containment/opening guards
+grow by the measured max displacement.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sidm_tpu.ops.direct import direct_gravity
+from sidm_tpu.ops.fused_force import fused_gravity_tree
+from sidm_tpu.ops.tree import build_octree, refresh_octree
+
+
+def _cluster(n, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, 3)).astype(np.float32)
+    r = np.linalg.norm(x, axis=1, keepdims=True)
+    pos = (x / r) * (np.abs(rng.normal(size=(n, 1))) ** 0.7 * 3.0)
+    return jnp.asarray(pos, jnp.float32)
+
+
+def _p99(a, b):
+    num = jnp.linalg.norm(a - b, axis=1)
+    den = jnp.maximum(jnp.linalg.norm(b, axis=1), 1e-12)
+    return float(jnp.percentile(num / den, 99))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    n = 4096
+    pos = _cluster(n)
+    mass = jnp.ones(n, jnp.float32) / n
+    eps = jnp.full(n, 0.02, jnp.float32)
+    valid = jnp.ones(n, bool)
+    tree = build_octree(pos, mass, eps, valid, box=0.0, depth=10)
+    return pos, mass, eps, valid, tree
+
+
+def test_refresh_identity_moments(setup):
+    """Refreshing with unchanged positions reproduces the built tree's
+    moments exactly and keeps drift at zero."""
+    pos, mass, eps, valid, tree = setup
+    tr = refresh_octree(tree, pos, mass, eps, valid)
+    assert float(tr.drift) == 0.0
+    np.testing.assert_allclose(np.asarray(tr.mac_rows),
+                               np.asarray(tree.mac_rows), rtol=1e-6,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(tr.quad_rows[:, :7]),
+                               np.asarray(tree.quad_rows[:, :7]),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("opening", [0, 1])
+def test_refresh_force_accuracy(setup, opening):
+    """Force p99 error on a drifted-and-refreshed tree stays within the
+    oracle bar, even at drift ~ the deepest cell size."""
+    pos, mass, eps, valid, tree = setup
+    n = pos.shape[0]
+    s_deep = float(tree.extent) / (1 << tree.depth)
+    rng = np.random.default_rng(1)
+    dx = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32) * (0.2 * s_deep)
+
+    pos2 = pos + dx
+    tr = refresh_octree(tree, pos2, mass, eps, valid)
+    accd, _ = direct_gravity(pos2, mass, eps)
+    oldacc = (jnp.linalg.norm(accd, axis=1) if opening == 1
+              else jnp.zeros(n, jnp.float32))
+    accr, _ = fused_gravity_tree(tr, mass, eps, oldacc, theta=0.5,
+                                 opening=opening)
+    assert _p99(accr, accd) < 1e-3
+
+    # a second consecutive refresh accumulates drift
+    pos3 = pos2 + dx
+    tr2 = refresh_octree(tr, pos3, mass, eps, valid)
+    assert float(tr2.drift) > float(tr.drift)
+    accd3, _ = direct_gravity(pos3, mass, eps)
+    accr3, _ = fused_gravity_tree(tr2, mass, eps, oldacc, theta=0.5,
+                                  opening=opening)
+    assert _p99(accr3, accd3) < 1e-3
+
+
+def test_refresh_flat_engine(setup):
+    """The flat pair-queue engine honours the drift guards too."""
+    from sidm_tpu.ops.flat_force import default_flat_config, \
+        flat_gravity_tree
+    pos, mass, eps, valid, tree = setup
+    n = pos.shape[0]
+    s_deep = float(tree.extent) / (1 << tree.depth)
+    rng = np.random.default_rng(2)
+    dx = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32) * (0.3 * s_deep)
+    pos2 = pos + dx
+    tr = refresh_octree(tree, pos2, mass, eps, valid)
+    accd, _ = direct_gravity(pos2, mass, eps)
+    accr, _ = flat_gravity_tree(tr, mass, eps, jnp.zeros(n, jnp.float32),
+                                theta=0.5, opening=0,
+                                config=default_flat_config(n))
+    assert _p99(accr, accd) < 1e-3
+
+
+def test_phased_simulation_refresh_cadence():
+    """A phased run with TreeRefreshSteps=3 conserves energy like the
+    per-step-rebuild run and produces statistically identical dynamics."""
+    from sidm_tpu.config import SimConfig
+    from sidm_tpu.simulation import Simulation
+
+    def run(refresh_steps):
+        n = 2048
+        rng = np.random.default_rng(7)
+        pos = rng.normal(size=(n, 3)).astype(np.float32) * 0.5
+        vel = rng.normal(size=(n, 3)).astype(np.float32) * 0.1
+        cfg = SimConfig(
+            OutputDir="/tmp/refresh_sim", SnapshotFileBase="s",
+            TimeBegin=0.0, TimeMax=1.0, MaxSizeTimestep=0.02,
+            ForceMethod="tree", TreeRefreshSteps=refresh_steps,
+            SofteningHalo=0.05, ErrTolTheta=0.6,
+            TimeBetSnapshot=0.0, TimeBetStatistics=0.0)
+        sim = Simulation(cfg, mode="phased", quiet=True)
+        sim.set_particles_from_arrays(pos, vel,
+                                      np.full(n, 1.0 / n, np.float32),
+                                      np.ones(n, np.int32))
+        sim.prepare()
+        for _ in range(6):
+            sim.step()
+        return np.asarray(sim.particles.pos), np.asarray(sim.particles.vel)
+
+    p_ref, v_ref = run(1)
+    p_lazy, v_lazy = run(3)
+    # trajectories agree to force-accuracy level over 6 steps
+    scale = np.percentile(np.linalg.norm(p_ref, axis=1), 50)
+    err = np.percentile(np.linalg.norm(p_lazy - p_ref, axis=1), 99)
+    assert err < 2e-3 * scale
