@@ -399,9 +399,9 @@ def sidm_scatter_flat(p, pos_pred, tree: Octree, time, active, vmax, key,
                         params)
     rt = pack_flat_range_tree(tree, rows)
 
-    valid_s = p.valid[tree.perm]
-    pidx, gvalid, ngp, GB, NB = make_windows(
-        tree.keys_s, valid_s, n, G, depth, cfg.break_level,
+    from .fused_range import make_gated_windows
+    pidx, gvalid, ngp, GB, NB = make_gated_windows(
+        tree.keys_s, hs, n, G, depth, cfg.break_level,
         group_block=1, sort_groups=False)
 
     gt = tree.pos_s[pidx]

@@ -158,12 +158,22 @@ def pack_tree(tree: Octree) -> FusedTree:
         ], axis=1)
         levels.append(row)
 
+    # PLANAR-by-16 particle rows [x0..15, y0..15, z0..15, m0..15,
+    # eps0..15, pad48]: field extraction in the near tile is then a
+    # contiguous lane slice — the interleaved 16x8 pack needs a
+    # (..,32,8) reshape whose 8-wide lanes cost ~2x the whole near pass
+    # (measured on v5e; see flat_force.pack_planar16)
     np16 = -(-n // 16)
-    pr = jnp.zeros((np16 * 16, 8), dtype)
-    pr = pr.at[:n, 0:3].set(tree.pos_s)
-    pr = pr.at[:n, 3].set(tree.mass_s)
-    pr = pr.at[:n, 4].set(tree.eps_s)
-    part16 = pr.reshape(np16, 128)
+
+    def plane(v, fill=0.0):
+        if np16 * 16 != n:
+            v = jnp.concatenate([v, jnp.full(np16 * 16 - n, fill, dtype)])
+        return v.reshape(np16, 16)
+
+    part16 = jnp.concatenate([
+        plane(tree.pos_s[:, 0]), plane(tree.pos_s[:, 1]),
+        plane(tree.pos_s[:, 2]), plane(tree.mass_s), plane(tree.eps_s),
+        jnp.zeros((np16, 48), dtype)], axis=1)
     return FusedTree(levels=tuple(levels), part16=part16,
                      n_levels=tuple(tree.n_nodes))
 
@@ -285,17 +295,24 @@ def _near_tile(ent, part16, xr, te, need_pot=True):
 
     nrows = part16.shape[0]
     rid = jnp.stack([row0, jnp.minimum(row0 + 1, nrows - 1)], axis=-1)
-    g = part16[rid.reshape(-1)].reshape(gb, sc, 2, 16, 8)
-    g = g.reshape(gb, sc, 32, 8)
+    g = part16[rid.reshape(-1)].reshape(gb, sc, 2, 128)
     slot = jnp.arange(32, dtype=jnp.int32)
     ok = (slot[None, None, :] >= off[:, :, None]) \
         & (slot[None, None, :] < (off + cnt)[:, :, None]) \
         & live[:, :, None]
 
     S = sc * 32
-    y = g[..., 0:3].reshape(gb, S, 3)
-    ym = jnp.where(ok, g[..., 3], 0.0).reshape(gb, S)
-    yeps = g[..., 4].reshape(gb, S)
+
+    def field(f):
+        # planar rows: two consecutive 16-packs cover any off+cnt<=31
+        # window with one contiguous lane slice per field
+        return jnp.concatenate([g[..., 0, 16 * f:16 * (f + 1)],
+                                g[..., 1, 16 * f:16 * (f + 1)]],
+                               axis=-1).reshape(gb, S)
+
+    yx, yy, yz = field(0), field(1), field(2)
+    ym = jnp.where(ok.reshape(gb, S), field(3), 0.0)
+    yeps = field(4)
 
     # RAW-coordinate per-pair differencing and per-pair accumulation. Both
     # group-centering and the sum-factorised accumulation carry ~bbox*eps_f32
@@ -305,9 +322,9 @@ def _near_tile(ent, part16, xr, te, need_pot=True):
     # subtraction is correctly rounded at the PAIR scale (like the direct-sum
     # oracle). Unrolled over d so every broadcast stays (GB, G, S) with S on
     # lanes (no trailing dim-3 tensor).
-    d0 = xr[:, :, None, 0] - y[:, None, :, 0]
-    d1 = xr[:, :, None, 1] - y[:, None, :, 1]
-    d2 = xr[:, :, None, 2] - y[:, None, :, 2]
+    d0 = xr[:, :, None, 0] - yx[:, None, :]
+    d1 = xr[:, :, None, 1] - yy[:, None, :]
+    d2 = xr[:, :, None, 2] - yz[:, None, :]
     r2 = d0 * d0 + d1 * d1 + d2 * d2
     r = jnp.sqrt(r2)
     h = 2.8 * jnp.maximum(te[:, :, None], yeps[:, None, :])

@@ -49,7 +49,8 @@ _CCNT = 6
 
 class RangeTree(NamedTuple):
     levels: tuple          # per level (cap_l, 8) f32 packed node rows
-    rows16: jax.Array      # (ceil(N/16), 128): 16 x [pos3, vel3, m, aux]
+    rows16: jax.Array      # (ceil(N/16), 128) planar [x16|y16|z16|vx16|
+                           #  vy16|vz16|m16|aux16]
     n_levels: tuple
 
 
@@ -77,10 +78,20 @@ def pack_range_tree(tree: Octree, rows_sorted) -> RangeTree:
         ], axis=1)
         levels.append(row)
 
+    # PLANAR-by-16 rows [x16|y16|z16|vx16|vy16|vz16|m16|aux16] — the 8
+    # SIDM fields fill the 128 lanes exactly; field extraction in the
+    # near tile is a contiguous lane slice (the interleaved pack's
+    # (..,32,8) reshape costs ~2x the whole pass; see
+    # fused_force.pack_tree)
     np16 = -(-n // 16)
-    pr = jnp.zeros((np16 * 16, 8), dtype)
-    pr = pr.at[:n].set(rows_sorted)
-    rows16 = pr.reshape(np16, 128)
+
+    def plane(v):
+        if np16 * 16 != n:
+            v = jnp.concatenate([v, jnp.zeros(np16 * 16 - n, dtype)])
+        return v.reshape(np16, 16)
+
+    rows16 = jnp.concatenate([plane(rows_sorted[:, k]) for k in range(8)],
+                             axis=1)
     return RangeTree(levels=tuple(levels), rows16=rows16,
                      n_levels=tuple(tree.n_nodes))
 
@@ -123,7 +134,7 @@ def _sidm_near_tile(ent, rows16, gt, gv, gh, gdt, gty, gidx, salt, time,
 
     nrows = rows16.shape[0]
     rid = jnp.stack([row0, jnp.minimum(row0 + 1, nrows - 1)], axis=-1)
-    g = rows16[rid.reshape(-1)].reshape(gb, sc, 32, 8)
+    g = rows16[rid.reshape(-1)].reshape(gb, sc, 2, 128)
     slot = jnp.arange(32, dtype=jnp.int32)
     okw = (slot[None, None, :] >= off[:, :, None]) \
         & (slot[None, None, :] < (off + cnt)[:, :, None]) \
@@ -133,17 +144,25 @@ def _sidm_near_tile(ent, rows16, gt, gv, gh, gdt, gty, gidx, salt, time,
     j_idx = ((start >> 4 << 4)[:, :, None]
              + slot[None, None, :]).reshape(gb, S)        # 16-aligned base
     okw = okw.reshape(gb, S)
-    sp = g[..., 0:3].reshape(gb, S, 3)
-    sv = g[..., 3:6].reshape(gb, S, 3)
-    sm = g[..., 6].reshape(gb, S)
-    aux = g[..., 7].reshape(gb, S)
+
+    def field(f):
+        # planar rows: two consecutive 16-packs cover any off+cnt<=31
+        # window with one contiguous lane slice per field
+        return jnp.concatenate([g[..., 0, 16 * f:16 * (f + 1)],
+                                g[..., 1, 16 * f:16 * (f + 1)]],
+                               axis=-1).reshape(gb, S)
+
+    spx, spy, spz = field(0), field(1), field(2)
+    svx, svy, svz = field(3), field(4), field(5)
+    sm = field(6)
+    aux = field(7)
     s_type = jnp.mod(aux, 8.0).astype(jnp.int32)
     s_pend = aux >= 8.0
 
     # raw-coordinate pair distances (see fused_force near tile)
-    d0 = gt[:, :, None, 0] - sp[:, None, :, 0]
-    d1 = gt[:, :, None, 1] - sp[:, None, :, 1]
-    d2c = gt[:, :, None, 2] - sp[:, None, :, 2]
+    d0 = gt[:, :, None, 0] - spx[:, None, :]
+    d1 = gt[:, :, None, 1] - spy[:, None, :]
+    d2c = gt[:, :, None, 2] - spz[:, None, :]
     r = jnp.sqrt(d0 * d0 + d1 * d1 + d2c * d2c)           # (GB, G, S)
 
     ok = (okw[:, None, :] & (j_idx[:, None, :] != gidx[:, :, None])
@@ -152,9 +171,9 @@ def _sidm_near_tile(ent, rows16, gt, gv, gh, gdt, gty, gidx, salt, time,
     h_safe = jnp.maximum(gh, 1e-30)[:, :, None]
     wk = sph_kernel(r / h_safe) / h_safe**3
 
-    w0 = gv[:, :, None, 0] - sv[:, None, :, 0]
-    w1 = gv[:, :, None, 1] - sv[:, None, :, 1]
-    w2 = gv[:, :, None, 2] - sv[:, None, :, 2]
+    w0 = gv[:, :, None, 0] - svx[:, None, :]
+    w1 = gv[:, :, None, 1] - svy[:, None, :]
+    w2 = gv[:, :, None, 2] - svz[:, None, :]
     rv = jnp.sqrt(w0 * w0 + w1 * w1 + w2 * w2)
     sgv = sigma_v_product(rv, time, sigma_co, params.cross_section_type,
                           params.yukawa_velocity,
@@ -391,14 +410,47 @@ def _range_eval(rt: RangeTree, gt, gv, gh, gdt, gty, gidx, glo, ghi, pad,
     return ptot, ncnt, bestk, bestj, ovf
 
 
+def make_gated_windows(keys_s, hs, n: int, G: int, depth: int,
+                       break_level: int, group_block: int,
+                       sort_groups: bool = True):
+    """Morton windows over the COMPACTED gated-target subset.
+
+    The P_max pre-gate (sidm.c:338-346) passes only a few percent of
+    targets per step; plain make_windows would leave them scattered one-
+    or-two per 64-slot group, and every live group pays full near-tile
+    math for all 64 slots. Compacting the gated particles (they stay
+    Morton-sorted) packs them ~G per group, cutting live-group count and
+    the per-pair amplification by ~1/gate-rate.
+
+    Returns (pidx, gvalid, ngp, GB, NB) with pidx in SORTED particle
+    space (like make_windows on the full set)."""
+    gate = hs > 0
+    idx = jnp.arange(n, dtype=jnp.int32)
+    cpos = jnp.cumsum(gate.astype(jnp.int32))
+    n_gated = cpos[n - 1]
+    dest = jnp.where(gate, cpos - 1, n)
+    gpos = jnp.zeros(n + 1, jnp.int32).at[dest].set(idx)[:n]
+    slotmask = idx < n_gated
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    keys_g = jnp.where(slotmask, keys_s[jnp.clip(gpos, 0, n - 1)], sentinel)
+    pidx_g, gvalid, ngp, GB, NB = make_windows(
+        keys_g, slotmask, n, G, depth, break_level, group_block,
+        sort_groups=sort_groups)
+    pidx = jnp.clip(gpos, 0, n - 1)[pidx_g]
+    return pidx, gvalid, ngp, GB, NB
+
+
 def sidm_scatter_fused(p, pos_pred, tree: Octree, time, active, vmax, key,
                        params: SidmParams, cfg: Optional[FusedConfig] = None,
-                       salt: int = 0):
+                       salt: int = 0, return_info: bool = False):
     """Fused-frontier DSMC pass: drop-in for sidm_scatter_tree (isolated
     runs; the periodic box stays on the segment engine for now)."""
     from .sidm_tree import _tree_sidm_finish, _tree_sidm_prep
 
-    cfg = cfg or FusedConfig(group_block=256)
+    # group_block=32: measured 5.6/5.7/6.7/8.9 s per SIDM pass at
+    # group_block 32/64/128/256 (NFW 1e6, v5e) — same small-block win as
+    # the force walk
+    cfg = cfg or FusedConfig()
     n = pos_pred.shape[0]
     G = cfg.group_size
     depth = tree.depth
@@ -408,10 +460,8 @@ def sidm_scatter_fused(p, pos_pred, tree: Octree, time, active, vmax, key,
                         params)
     rt = pack_range_tree(tree, rows)
 
-    valid_s = p.valid[tree.perm]
-    pidx, gvalid, ngp, GB, NB = make_windows(
-        tree.keys_s, valid_s, n, G, depth, cfg.break_level,
-        cfg.group_block)
+    pidx, gvalid, ngp, GB, NB = make_gated_windows(
+        tree.keys_s, hs, n, G, depth, cfg.break_level, cfg.group_block)
 
     gt = tree.pos_s[pidx]
     gv = jnp.where(gvalid[..., None], rows[pidx][..., 3:6], 0.0)
@@ -452,6 +502,13 @@ def sidm_scatter_fused(p, pos_pred, tree: Octree, time, active, vmax, key,
         time, active, scan, p_max, rand, vmax, key, params,
         params.log_events)
     p2, n_scat, ev = out
+    if return_info:
+        info = dict(ovf_open=ovf[0], ovf_big=ovf[1],
+                    n_gated=jnp.sum((hs > 0).astype(jnp.int32)),
+                    ngb_total=jnp.sum(ncnt))
+        if params.log_events:
+            return p2, n_scat, ev, info
+        return p2, n_scat, info
     if params.log_events:
         return p2, n_scat, ev
     return p2, n_scat
@@ -470,7 +527,10 @@ def tree_hsml_init_fused(p, tree: Octree, k: int,
 
     from .sidm_tree import _HSML_PARAMS
 
-    cfg = cfg or FusedConfig(group_block=256)
+    # group_block=32: measured 5.6/5.7/6.7/8.9 s per SIDM pass at
+    # group_block 32/64/128/256 (NFW 1e6, v5e) — same small-block win as
+    # the force walk
+    cfg = cfg or FusedConfig()
     n = tree.pos_s.shape[0]
     dtype = tree.pos_s.dtype
     depth = tree.depth

@@ -98,3 +98,29 @@ def test_hsml_init_fused_counts_exact():
     # controller converged to ~DesNumNgb for the bulk
     mid = np.quantile(cnt, 0.5)
     assert 20 <= mid <= 45
+
+
+def test_fused_walk_no_overflow():
+    """The range walk must be exhaustive: open/big overflow counters stay
+    zero on a clustered distribution with realistic (sparse) gating —
+    dropped cells would silently bias scattering rates low."""
+    n = 8192
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(n, 3))
+    r = np.linalg.norm(x, axis=1, keepdims=True)
+    pos = (x / r) * (np.abs(rng.normal(size=(n, 1))) ** 0.7 * 3.0)
+    vel = rng.normal(0, 0.3, (n, 3))
+    p = make_particles(pos, vel, np.full(n, 1.0 / n), np.ones(n, np.int32),
+                       pad_to_multiple=n)
+    p = setup_smoothing_lengths(p, 30, 2)
+    params = SidmParams(5.0, 0, 1.0, 1.0, 0.0, 30, 2, False, 0.1, 0.0,
+                        0.0, maintenance_rate=0.05)
+    eps = jnp.full(n, 0.01, jnp.float32)
+    tree = build_octree(p.pos, p.mass, eps, p.valid, depth=10)
+    out = sidm_scatter_fused(p, p.pos, tree, jnp.float32(0.01), p.valid,
+                             jnp.float32(3.0), run_key(7, 7), params,
+                             salt=5, return_info=True)
+    info = out[-1]
+    assert int(info["ovf_open"]) == 0, int(info["ovf_open"])
+    assert int(info["ovf_big"]) == 0, int(info["ovf_big"])
+    assert int(info["n_gated"]) > 0
