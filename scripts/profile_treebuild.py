@@ -16,13 +16,26 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 20
 REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 
 
+def sync(out):
+    # host-read sync: block_until_ready alone does not force execution
+    # through the axon tunnel
+    leaves = [x for x in jax.tree_util.tree_leaves(out)
+              if hasattr(x, "ravel")]
+    s = 0.0
+    for x in leaves[:3]:
+        s += float(jnp.sum(x.astype(jnp.float32).ravel()[:16]))
+    return s
+
+
 def timeit(label, fn, *args, reps=REPS):
     t0 = time.time()
-    out = jax.block_until_ready(fn(*args))
+    out = fn(*args)
+    sync(out)
     tc = time.time() - t0
     t0 = time.time()
     for _ in range(reps):
-        out = jax.block_until_ready(fn(*args))
+        out = fn(*args)
+        sync(out)
     dt = (time.time() - t0) / reps
     print(f"{label:<52s} {dt*1e3:9.1f} ms   (c+1st {tc:.1f}s)", flush=True)
     return out, dt
@@ -119,5 +132,28 @@ def main():
     timeit("cumsum(N,11) + end gather", jax.jit(seg_by_ends), prods, seg13)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("TB_VARIANTS"):
     main()
+
+
+def variants():
+    from sidm_tpu.io import ics
+    from sidm_tpu.ops import fused_force as ff
+    from sidm_tpu.ops.tree import build_octree
+
+    pos, vel, mass = ics.nfw(N, rho0=1.49e-4, rs=11.14356, G=43007.1,
+                             seed=12345)
+    pos = jnp.asarray(pos, jnp.float32)
+    mass = jnp.asarray(mass, jnp.float32)
+    eps = jnp.full(N, 0.3, jnp.float32)
+    valid = jnp.ones(N, bool)
+    depth = ff.default_depth(N)
+    for skip in [(), ("emax",), ("children",), ("moments",),
+                 ("emax", "children", "moments")]:
+        fn = jax.jit(lambda p, m, e, v, s=skip: build_octree(
+            p, m, e, v, box=0.0, depth=depth, _skip=s))
+        timeit(f"build skip={skip}", fn, pos, mass, eps, valid)
+
+
+if __name__ == "__main__" and os.environ.get("TB_VARIANTS"):
+    variants()

@@ -44,16 +44,18 @@ def setup():
 
 def test_refresh_identity_moments(setup):
     """Refreshing with unchanged positions reproduces the built tree's
-    moments exactly and keeps drift at zero."""
+    moments (to blocked-range-sum accuracy: absolute error ~128 eps of
+    the LOCAL block magnitude, i.e. ~1e-4 at unit position scale) and
+    keeps drift at zero."""
     pos, mass, eps, valid, tree = setup
     tr = refresh_octree(tree, pos, mass, eps, valid)
     assert float(tr.drift) == 0.0
     np.testing.assert_allclose(np.asarray(tr.mac_rows),
-                               np.asarray(tree.mac_rows), rtol=1e-6,
-                               atol=1e-7)
+                               np.asarray(tree.mac_rows), rtol=1e-3,
+                               atol=2e-4)
     np.testing.assert_allclose(np.asarray(tr.quad_rows[:, :7]),
                                np.asarray(tree.quad_rows[:, :7]),
-                               rtol=1e-5, atol=1e-6)
+                               rtol=1e-3, atol=2e-4)
 
 
 @pytest.mark.parametrize("opening", [0, 1])
@@ -135,3 +137,32 @@ def test_phased_simulation_refresh_cadence():
     scale = np.percentile(np.linalg.norm(p_ref, axis=1), 50)
     err = np.percentile(np.linalg.norm(p_lazy - p_ref, axis=1), 99)
     assert err < 2e-3 * scale
+
+
+def test_block_range_sum_exact():
+    """range_sum over sorted ranges matches segment_sum to f32 hierarchy
+    accuracy (rel. err <= ~128 eps) for adversarial segment layouts."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    n = 40000
+    vals = jnp.asarray(rng.normal(size=(n, 4)) ** 2, jnp.float32)
+    # random segmentation incl. tiny, block-crossing and huge segments
+    nseg = 700
+    cuts = np.sort(rng.choice(n, nseg - 1, replace=False))
+    starts = np.concatenate([[0], cuts]).astype(np.int32)
+    ends = np.concatenate([cuts, [n]]).astype(np.int32)
+
+    from sidm_tpu.ops.tree import block_prefix, range_sum
+    bp = block_prefix(vals)
+    got = range_sum(bp, jnp.asarray(starts), jnp.asarray(ends))
+    seg = np.repeat(np.arange(nseg), np.asarray(ends) - np.asarray(starts))
+    want = jax.ops.segment_sum(vals, jnp.asarray(seg), num_segments=nseg)
+    # accuracy: absolute error bounded by ~128 eps of the local block
+    # magnitude (tiny segments inside large blocks see it as relative
+    # error amplification)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=1e-5)
+    # empty queries give zero
+    z = range_sum(bp, jnp.asarray([5, 100]), jnp.asarray([5, 80]))
+    assert float(jnp.max(jnp.abs(z))) == 0.0
