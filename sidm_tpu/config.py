@@ -153,6 +153,14 @@ class SimConfig:
     Precision: str = "f32"              # "f32" | "f64"
     SnapFormatOut: int = 1              # Gadget format-1 output
     EwaldGridSize: int = 64             # ewald.c EN=64
+    # TreePM periodic gravity (ops/pm.py): the Ewald sum is split into a
+    # screened short-range force in the tree walk plus a k-space mesh
+    # solve, replacing the reference's per-interaction Ewald table
+    # lookups. PMGrid: 0 = auto mesh size (~2 N^(1/3), pow2 in [64,512]),
+    # -1 = legacy per-pair Ewald walk, >0 = explicit mesh size.
+    PMGrid: int = 0
+    PMAsmth: float = 2.0                # split scale in mesh cells
+    PMRcutFac: float = 6.0              # short-range cutoff / (asmth h)
 
     # --- derived (set by set_units / read_ic; not parameter-file tags) ---
     OutputListTimes: List[float] = field(default_factory=list)
@@ -179,7 +187,7 @@ _OPTIONAL_TAGS = {
     "CrossSectionPowLaw", "NoScatter", "ScatterLog", "FindNbrLog",
     "ReflectionBoundary", "NoForce", "VelDispOn",
     "ForceMethod", "Precision", "SnapFormatOut", "EwaldGridSize",
-    "TreeRefreshSteps",
+    "TreeRefreshSteps", "PMGrid", "PMAsmth", "PMRcutFac",
 }
 
 

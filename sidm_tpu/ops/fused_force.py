@@ -106,6 +106,8 @@ class FusedTree(NamedTuple):
     levels: tuple          # per level (cap_l, 16) f32 packed node rows
     part16: jax.Array      # (ceil(N/16), 128) packed particles (16 x 8 f32)
     n_levels: tuple        # per level () int32 real node count
+    levels_tr: tuple       # per level (cap_l,) raw quadrupole trace tr(Q~)
+                           # (only read by the TreePM screened far tile)
 
 
 # packed node row layout
@@ -174,8 +176,10 @@ def pack_tree(tree: Octree) -> FusedTree:
         plane(tree.pos_s[:, 0]), plane(tree.pos_s[:, 1]),
         plane(tree.pos_s[:, 2]), plane(tree.mass_s), plane(tree.eps_s),
         jnp.zeros((np16, 48), dtype)], axis=1)
+    levels_tr = tuple(tree.trq[offs[l]:offs[l + 1]]
+                      for l in range(depth + 1))
     return FusedTree(levels=tuple(levels), part16=part16,
-                     n_levels=tuple(tree.n_nodes))
+                     n_levels=tuple(tree.n_nodes), levels_tr=levels_tr)
 
 
 def _w_schedule(cfg: FusedConfig, depth: int, n: int, theta: float,
@@ -279,11 +283,13 @@ def _far_tile(rows, xc, te, gc, prec=_PREC, need_pot=True):
     return dacc, dpot
 
 
-def _near_tile(ent, part16, xr, te, need_pot=True):
+def _near_tile(ent, part16, xr, te, need_pot=True, pbc=None):
     """Leaf-segment particles against one group block.
 
     ent: (GB, SC) packed int32 entries start*32+cnt (IMAX = dead);
-    part16: (NP16, 128) packed particles. Returns (dacc, dpot)."""
+    part16: (NP16, 128) packed particles. Returns (dacc, dpot).
+    pbc: optional static (box, alpha, rcut) — minimum-image differencing
+    and the TreePM screened pair force (ops/pm.py short_range_fac)."""
     dtype = xr.dtype
     gb, sc = ent.shape
     live = ent != IMAX
@@ -325,28 +331,57 @@ def _near_tile(ent, part16, xr, te, need_pot=True):
     d0 = xr[:, :, None, 0] - yx[:, None, :]
     d1 = xr[:, :, None, 1] - yy[:, None, :]
     d2 = xr[:, :, None, 2] - yz[:, None, :]
+    if pbc is not None:
+        box = pbc[0]
+        d0 = d0 - box * jnp.round(d0 / box)
+        d1 = d1 - box * jnp.round(d1 / box)
+        d2 = d2 - box * jnp.round(d2 / box)
     r2 = d0 * d0 + d1 * d1 + d2 * d2
     r = jnp.sqrt(r2)
     h = 2.8 * jnp.maximum(te[:, :, None], yeps[:, None, :])
-    fac = ym[:, None, :] * softened_inv_r3(r, h)
+    if pbc is not None:
+        from .pm import short_range_fac, short_range_pot
+        cut = r <= pbc[2]
+        fac = ym[:, None, :] * short_range_fac(r, h, pbc[1]) * cut
+    else:
+        fac = ym[:, None, :] * softened_inv_r3(r, h)
     dacc = jnp.stack([-jnp.sum(fac * d0, axis=-1),
                       -jnp.sum(fac * d1, axis=-1),
                       -jnp.sum(fac * d2, axis=-1)], axis=-1)
     if need_pot:
-        dpot = jnp.sum(ym[:, None, :] * softened_potential(r, h), axis=-1)
+        if pbc is not None:
+            dpot = jnp.sum(ym[:, None, :]
+                           * short_range_pot(r, h, pbc[1]) * cut, axis=-1)
+        else:
+            dpot = jnp.sum(ym[:, None, :] * softened_potential(r, h),
+                           axis=-1)
     else:
         dpot = jnp.zeros((gb, xr.shape[1]), dtype)
     return dacc, dpot
 
 
 def _classify(rows, glo, ghi, oac, s_l, theta2, use_relative, leaf_cap,
-              last_level):
-    """Opening decision per (group, slot). rows: (GB, WC, 16)."""
+              last_level, pbc=None):
+    """Opening decision per (group, slot). rows: (GB, WC, 16).
+
+    pbc: optional static (box, alpha, rcut) TreePM split (ops/pm.py). The
+    bbox-to-COM distance is then the minimum image, and any cell whose
+    bounding sphere cannot reach within rcut of the group is DROPPED
+    (neither opened nor far-accepted): its screened short-range force is
+    zero and its full contribution lives on the mesh."""
     com = rows[..., _COM]
     m = rows[..., _MASS]
     cnt = rows[..., _CNT]
-    dx = jnp.maximum(jnp.maximum(glo[:, None, :] - com, com - ghi[:, None, :]),
-                     0.0)
+    if pbc is not None:
+        box = pbc[0]
+        gc = 0.5 * (glo + ghi)[:, None, :]
+        hw = 0.5 * (ghi - glo)[:, None, :]
+        delta = com - gc
+        delta = delta - box * jnp.round(delta / box)
+        dx = jnp.maximum(jnp.abs(delta) - hw, 0.0)
+    else:
+        dx = jnp.maximum(
+            jnp.maximum(glo[:, None, :] - com, com - ghi[:, None, :]), 0.0)
     r2b = jnp.sum(dx * dx, axis=-1)                       # (GB,WC)
     geo = s_l * s_l > theta2 * r2b
     if use_relative:
@@ -354,10 +389,23 @@ def _classify(rows, glo, ghi, oac, s_l, theta2, use_relative, leaf_cap,
         mac_open = jnp.where(oac[:, None] > 0, rel, geo)
     else:
         mac_open = geo
-    # containment guard: open any cell whose com is within sqrt(3) s of the
-    # bbox (superset of the reference's geometric-center overlap test)
-    mac_open = mac_open | (r2b <= 3.0 * s_l * s_l)
+    if pbc is not None and len(pbc) > 3 and pbc[3] > 0:
+        # screening-scale cap: the TreePM screen S(r) varies on the scale
+        # 1/(2 alpha); multipoles of cells LARGER than that carry an
+        # e-fold screen variation, so force them open (they are within
+        # rcut or they'd be dropped below anyway)
+        mac_open = mac_open | (s_l > pbc[3])
+    # BMAX containment guard (forcetree.c:1254-1257): open any cell whose
+    # true bounding sphere around the COM (|com-center| + sqrt(3)/2 len
+    # + drift, packed as bmax^2 in pack_tree) can reach the group bbox.
+    # Exact per-node bound — tighter than a sqrt(3)*len box test, so it
+    # both implements the reference's BMAX option and opens fewer cells.
+    mac_open = mac_open | (r2b <= rows[..., 15])
     live = cnt > 0
+    if pbc is not None:
+        # short-range truncation: min pair distance >= sqrt(r2b) - bmax
+        reach = jnp.sqrt(r2b) <= pbc[2] + jnp.sqrt(rows[..., 15])
+        live = live & reach
     is_leaf = cnt <= leaf_cap
     far = live & ~mac_open
     seg = live & mac_open & is_leaf
@@ -371,10 +419,101 @@ def _classify(rows, glo, ghi, oac, s_l, theta2, use_relative, leaf_cap,
     return far, seg, opn, big
 
 
+def _far_tile_pbc(rows, trq, xr, te, pbc, need_pot=True):
+    """Periodic screened multipole tile: ELEMENTWISE minimum-image pair
+    vectors (no group-centered MXU expansion — the wrap is per pair) and
+    the EXACT multipole expansion of the screened kernel.
+
+    rows: (GB, WC, 16) mass zeroed on non-accepted slots; trq: (GB, WC)
+    raw quadrupole trace; xr: (GB, G, 3) RAW target positions.
+
+    The quadrupole of psi(R) = erfc(aR)/R is NOT S(R) times the Newtonian
+    quadrupole: with E = (2a/sqrt(pi)) exp(-a^2 R^2),
+      psi''  = 2 a^2 E + 2 S/R^3,
+    and the Gaussian term dominates for aR >~ 2 (at aR=3 it is ~17x the
+    screened-Newtonian term) — the naive form loses ~2e-2 of the local
+    short force near rcut (measured). Exact coefficients (d = y - x):
+      a_q = -cA (dQd + tr R^2) d - cB (Qd) - 2.5 cB tr d,   with
+      cA = -(2/3) a^4 E ir^2 - (5/3) a^2 E ir^4 - 2.5 S ir^7
+      cB =  (2/3) a^2 E ir^2 + S ir^5
+    where Qd/dQd use the packed TRACELESS quadrupole (the tr terms fold
+    the trace back in; E, S masked to the Newtonian range and rcut).
+    Both reduce to the classic -w5 u + 2.5 w7 dqd d at E=0, S=1."""
+    from .pm import short_range_screen
+
+    dtype = xr.dtype
+    box, alpha, rcut = pbc[0], pbc[1], pbc[2]
+    m = rows[..., _MASS]                                  # (GB,WC)
+    epsn = rows[..., _EPS]
+    q = rows[..., _QUAD]
+
+    d0 = rows[..., None, :, 0] - xr[..., 0][..., None]    # (GB,G,WC)
+    d1 = rows[..., None, :, 1] - xr[..., 1][..., None]
+    d2 = rows[..., None, :, 2] - xr[..., 2][..., None]
+    d0 = d0 - box * jnp.round(d0 / box)
+    d1 = d1 - box * jnp.round(d1 / box)
+    d2 = d2 - box * jnp.round(d2 / box)
+    r2 = d0 * d0 + d1 * d1 + d2 * d2
+    r = jnp.sqrt(r2)
+    h = 2.8 * jnp.maximum(te[:, :, None], epsn[:, None, :])
+    cut = r <= rcut
+    scr = short_range_screen(r, alpha) * cut
+    fac = m[:, None, :] * softened_inv_r3(r, h) * scr
+    dacc = jnp.stack([jnp.sum(fac * d0, axis=-1),
+                      jnp.sum(fac * d1, axis=-1),
+                      jnp.sum(fac * d2, axis=-1)], axis=-1)
+    if need_pot:
+        # screened potential: -erfc(alpha r)/r beyond softening (far-
+        # accepted cells are beyond h by the containment guard)
+        from .pm import short_range_pot
+        dpot = jnp.sum(m[:, None, :] * short_range_pot(r, h, alpha) * cut,
+                       axis=-1)
+    else:
+        dpot = jnp.zeros(xr.shape[:2], dtype)
+
+    # exact screened quadrupole, Newtonian range only
+    live = m > 0
+    mask = (r >= h) & live[:, None, :] & cut
+    r_safe = jnp.maximum(r, 1e-30)
+    ir = jnp.where(mask, 1.0 / r_safe, 0.0)
+    ir2 = ir * ir
+    a2 = alpha * alpha
+    Em = jnp.where(mask, (2.0 * alpha / (jnp.pi ** 0.5))
+                   * jnp.exp(-a2 * r2), 0.0)
+    Sm = jnp.where(mask, short_range_screen(r, alpha), 0.0)
+    cA = (-(2.0 / 3.0) * a2 * a2 * Em * ir2
+          - (5.0 / 3.0) * a2 * Em * ir2 * ir2
+          - 2.5 * Sm * ir2 * ir2 * ir2 * ir)
+    cB = (2.0 / 3.0) * a2 * Em * ir2 + Sm * ir2 * ir2 * ir
+    qxx, qyy, qzz = q[..., 0], q[..., 1], q[..., 2]
+    qxy, qxz, qyz = q[..., 3], q[..., 4], q[..., 5]
+    u0 = (qxx[:, None, :] * d0 + qxy[:, None, :] * d1
+          + qxz[:, None, :] * d2)
+    u1 = (qxy[:, None, :] * d0 + qyy[:, None, :] * d1
+          + qyz[:, None, :] * d2)
+    u2 = (qxz[:, None, :] * d0 + qyz[:, None, :] * d1
+          + qzz[:, None, :] * d2)
+    dqd = d0 * u0 + d1 * u1 + d2 * u2
+    trr = trq[:, None, :]
+    tA = -cA * (dqd + trr * r2) - 2.5 * cB * trr          # coeff of d
+    dacc = dacc + jnp.stack([
+        jnp.sum(tA * d0 - cB * u0, axis=-1),
+        jnp.sum(tA * d1 - cB * u1, axis=-1),
+        jnp.sum(tA * d2 - cB * u2, axis=-1)], axis=-1)
+    if need_pot:
+        # phi_q = 0.5 tr S ir^3 - (dQd + tr R^2)/6 * (2 a^2 E ir^2
+        #         + 3 S ir^5); reduces to -0.5 dqd w5 at E=0, S=1
+        dpot = dpot + jnp.sum(
+            0.5 * trr * Sm * ir2 * ir
+            - (dqd + trr * r2) * ((1.0 / 3.0) * a2 * Em * ir2
+                                  + 0.5 * Sm * ir2 * ir2 * ir), axis=-1)
+    return dacc, dpot
+
+
 def _level_pass(fids, live_w, acc, pot, n_seg_total, tbl, s_l, nl_real,
                 xc_b, te_b, xr_b, glo_b, ghi_b, oac_b, gc_b, part16,
                 *, W, WC, last, theta2, use_relative, cfg, need_pot,
-                NB, GB, ng, G, dtype):
+                NB, GB, ng, G, dtype, pbc=None, tr_tbl=None):
     """One level: gather/classify/far over the frontier, then the near pass.
 
     Returns (acc, pot, n_seg_total, segk?, openk, bigk) with openk/bigk as
@@ -384,7 +523,7 @@ def _level_pass(fids, live_w, acc, pot, n_seg_total, tbl, s_l, nl_real,
         return x.reshape((NB, GB) + x.shape[1:])
 
     def block_body(args):
-        fids_b, xcb, teb, glob, ghib, oacb, gcb, live_b = args
+        fids_b, xcb, xrb, teb, glob, ghib, oacb, gcb, live_b = args
         accb = jnp.zeros((GB, G, 3), dtype)
         potb = jnp.zeros((GB, G), dtype)
         segk = jnp.full((GB, W), IMAX, jnp.int32)
@@ -403,12 +542,19 @@ def _level_pass(fids, live_w, acc, pot, n_seg_total, tbl, s_l, nl_real,
             rows = jnp.where(dead[..., None], 0.0, rows)
             far, seg, opn, big = _classify(
                 rows, glob, ghib, oacb, s_l, theta2, use_relative,
-                cfg.leaf_cap, last)
+                cfg.leaf_cap, last, pbc)
             rows_far = rows.at[..., _MASS].set(
                 jnp.where(far, rows[..., _MASS], 0.0))
             if not cfg.skip_far:
-                da, dp = _far_tile(rows_far, xcb, teb, gcb,
-                                   _PREC_MAP[cfg.precision], need_pot)
+                if pbc is not None:
+                    trr = jnp.where(
+                        dead | ~far,
+                        0.0, tr_tbl[jnp.clip(ids, 0, tr_tbl.shape[0] - 1)])
+                    da, dp = _far_tile_pbc(rows_far, trr, xrb, teb, pbc,
+                                           need_pot)
+                else:
+                    da, dp = _far_tile(rows_far, xcb, teb, gcb,
+                                       _PREC_MAP[cfg.precision], need_pot)
                 accb = accb + da
                 potb = potb + dp
 
@@ -432,7 +578,7 @@ def _level_pass(fids, live_w, acc, pot, n_seg_total, tbl, s_l, nl_real,
             cond, chunk, (jnp.int32(0), accb, potb, segk, openk, bigk))
         return accb, potb, segk, openk, bigk
 
-    outs = lax.map(block_body, (blk(fids), xc_b, te_b, glo_b, ghi_b,
+    outs = lax.map(block_body, (blk(fids), xc_b, xr_b, te_b, glo_b, ghi_b,
                                 oac_b, gc_b, live_w))
     accb, potb, segk, openk, bigk = outs
     acc = acc + accb.reshape(ng, G, 3)
@@ -448,7 +594,7 @@ def _level_pass(fids, live_w, acc, pot, n_seg_total, tbl, s_l, nl_real,
     if not cfg.skip_near:
         acc, pot = _near_level(
             acc, pot, seg_sorted, jnp.max(n_seg.reshape(NB, GB), axis=1),
-            part16, xr_b, te_b, cfg, NB, GB, need_pot)
+            part16, xr_b, te_b, cfg, NB, GB, need_pot, pbc)
     return acc, pot, n_seg_total, openk, bigk.reshape(ng, W)
 
 
@@ -485,11 +631,11 @@ def _expand_open(openk, ovf, *, Wn, cfg, NB, GB, ng):
 
 
 @partial(jax.jit, static_argnames=("theta", "use_relative", "cfg", "depth",
-                                   "n_real", "need_pot"))
+                                   "n_real", "need_pot", "pbc"))
 def _fused_eval(ftree: FusedTree, gtargets, geps, glo, ghi, oac, gvalid,
                 extent, drift, theta: float, use_relative: bool,
                 cfg: FusedConfig, depth: int, n_real: int,
-                need_pot: bool = True):
+                need_pot: bool = True, pbc=None):
     """The fused walk+eval over all levels. All group arrays are padded to a
     multiple of cfg.group_block groups.
 
@@ -549,14 +695,15 @@ def _fused_eval(ftree: FusedTree, gtargets, geps, glo, ghi, oac, gvalid,
                   ghi_b=ghi_b, oac_b=oac_b, gc_b=gc_b,
                   part16=ftree.part16, theta2=theta2,
                   use_relative=use_relative, cfg=cfg, need_pot=need_pot,
-                  NB=NB, GB=GB, ng=ng, G=G, dtype=dtype)
+                  NB=NB, GB=GB, ng=ng, G=G, dtype=dtype, pbc=pbc)
 
     for l in range(l0, min(l_scan, depth)):
         W = ws[l]
         acc, pot, n_seg_total, openk, _ = _level_pass(
             fids, live_w, acc, pot, n_seg_total, ftree.levels[l],
             extent / (1 << l) + 2.0 * drift, ftree.n_levels[l],
-            W=W, WC=min(cfg.wc, W), last=False, **common)
+            W=W, WC=min(cfg.wc, W), last=False,
+            tr_tbl=ftree.levels_tr[l], **common)
         fids, live_w, ovf, mo = _expand_open(
             openk, ovf, Wn=ws[l + 1], cfg=cfg, NB=NB, GB=GB, ng=ng)
         lvl_max_open.append(mo)
@@ -569,6 +716,10 @@ def _fused_eval(ftree: FusedTree, gtargets, geps, glo, ghi, oac, gvalid,
                 t, jnp.zeros((cap_s - t.shape[0], 16), dtype)])
             if t.shape[0] < cap_s else t
             for t in (ftree.levels[l] for l in range(l_scan, depth))])
+        trs = jnp.stack([
+            jnp.concatenate([t, jnp.zeros(cap_s - t.shape[0], dtype)])
+            if t.shape[0] < cap_s else t
+            for t in (ftree.levels_tr[l] for l in range(l_scan, depth))])
         sls = jnp.stack([jnp.asarray(extent / (1 << l) + 2.0 * drift, dtype)
                          for l in range(l_scan, depth)])
         nls = jnp.stack([jnp.asarray(ftree.n_levels[l], jnp.int32)
@@ -576,16 +727,16 @@ def _fused_eval(ftree: FusedTree, gtargets, geps, glo, ghi, oac, gvalid,
 
         def scan_body(carry, xs):
             fids, live_w, acc, pot, ovf, n_seg_total = carry
-            tbl, s_l, nl_real = xs
+            tbl, tr_t, s_l, nl_real = xs
             acc, pot, n_seg_total, openk, _ = _level_pass(
                 fids, live_w, acc, pot, n_seg_total, tbl, s_l, nl_real,
-                W=W, WC=min(cfg.wc, W), last=False, **common)
+                W=W, WC=min(cfg.wc, W), last=False, tr_tbl=tr_t, **common)
             fids, live_w, ovf, mo = _expand_open(
                 openk, ovf, Wn=W, cfg=cfg, NB=NB, GB=GB, ng=ng)
             return (fids, live_w, acc, pot, ovf, n_seg_total), mo
 
         carry = (fids, live_w, acc, pot, ovf, n_seg_total)
-        carry, mos = lax.scan(scan_body, carry, (tbls, sls, nls))
+        carry, mos = lax.scan(scan_body, carry, (tbls, trs, sls, nls))
         fids, live_w, acc, pot, ovf, n_seg_total = carry
         lvl_max_open.append(jnp.max(mos))
 
@@ -595,7 +746,8 @@ def _fused_eval(ftree: FusedTree, gtargets, geps, glo, ghi, oac, gvalid,
     acc, pot, n_seg_total, _, bigk = _level_pass(
         fids, live_w, acc, pot, n_seg_total, tbl,
         extent / (1 << depth) + 2.0 * drift, ftree.n_levels[depth],
-        W=W, WC=min(cfg.wc, W), last=True, **common)
+        W=W, WC=min(cfg.wc, W), last=True,
+        tr_tbl=ftree.levels_tr[depth], **common)
 
     # overfull deepest cells -> 16-particle chunks, same near pass
     border = jnp.argsort(bigk, axis=1)
@@ -615,7 +767,7 @@ def _fused_eval(ftree: FusedTree, gtargets, geps, glo, ghi, oac, gvalid,
     if not cfg.skip_near:
         acc, pot = _near_level(
             acc, pot, bkey, jnp.max(n_bk.reshape(NB, GB), axis=1),
-            ftree.part16, xr_b, te_b, cfg, NB, GB, need_pot)
+            ftree.part16, xr_b, te_b, cfg, NB, GB, need_pot, pbc)
     n_big = jnp.sum((bigk != IMAX).astype(jnp.int32), axis=1)
     ovf = ovf.at[1].add(
         jnp.sum(jnp.maximum(n_big - cfg.big_cap, 0))
@@ -628,7 +780,8 @@ def _fused_eval(ftree: FusedTree, gtargets, geps, glo, ghi, oac, gvalid,
 
 
 def _near_level(acc, pot, seg_sorted, max_live, part16, xr_b, te_b,
-                cfg: FusedConfig, NB: int, GB: int, need_pot: bool = True):
+                cfg: FusedConfig, NB: int, GB: int, need_pot: bool = True,
+                pbc=None):
     """Near-field pass over one level's sorted (ng, W) segment-key plane."""
     ng, W = seg_sorted.shape
     G = xr_b.shape[2]
@@ -643,7 +796,7 @@ def _near_level(acc, pot, seg_sorted, max_live, part16, xr_b, te_b,
         def chunk(state):
             ci, accb, potb = state
             e = lax.dynamic_slice(ent_b, (jnp.int32(0), ci * SC), (GB, SC))
-            da, dp = _near_tile(e, part16, xrb, teb, need_pot)
+            da, dp = _near_tile(e, part16, xrb, teb, need_pot, pbc)
             return ci + 1, accb + da, potb + dp
 
         def cond(state):
@@ -721,7 +874,8 @@ def fused_gravity_tree(tree, mass, eps, old_acc, *, theta=0.5, opening=1,
                        err_tol_force_acc=0.005,
                        config: Optional[FusedConfig] = None,
                        return_info: bool = False, need_pot: bool = True,
-                       shard: Optional[tuple] = None):
+                       shard: Optional[tuple] = None,
+                       pbc: Optional[tuple] = None):
     """Fused walk/eval on a PREBUILT octree (so the simulation step can
     share one tree between gravity and the SIDM range walk). mass/eps/
     old_acc are in ORIGINAL particle order; returns (acc, pot[, info]) in
@@ -785,17 +939,26 @@ def fused_gravity_tree(tree, mass, eps, old_acc, *, theta=0.5, opening=1,
     glo = jnp.min(jnp.where(gvalid[..., None], gtargets, big), axis=1)
     ghi = jnp.max(jnp.where(gvalid[..., None], gtargets, -big), axis=1)
     any_v = jnp.any(gvalid, axis=1)
-    # dead groups: park the bbox far outside so nothing opens
-    far_here = tree.origin + 4.0 * tree.extent
-    glo = jnp.where(any_v[:, None], glo, far_here)
-    ghi = jnp.where(any_v[:, None], ghi, far_here)
+    if pbc is None:
+        # dead groups: park the bbox far outside so nothing opens
+        far_here = tree.origin + 4.0 * tree.extent
+        glo = jnp.where(any_v[:, None], glo, far_here)
+        ghi = jnp.where(any_v[:, None], ghi, far_here)
+    else:
+        # positions wrap under the minimum image, so "far outside" does
+        # not exist — park dead groups with an INVERTED huge bbox: the
+        # half-width is then hugely negative and every bbox distance
+        # becomes ~1e18, killing the frontier at the start level
+        glo = jnp.where(any_v[:, None], glo, jnp.asarray(1e18, dtype))
+        ghi = jnp.where(any_v[:, None], ghi, jnp.asarray(-1e18, dtype))
     oac = jnp.min(jnp.where(gvalid & (goac > 0), goac, big), axis=1)
     oac = jnp.where(jnp.any(gvalid & (goac > 0), axis=1), oac, 0.0)
 
     acc_g, pot_g, info = _fused_eval(
         ftree, gtargets, geps, glo, ghi, oac, gvalid, tree.extent,
         tree.drift, float(theta), bool(opening == 1), cfg, depth, int(n),
-        bool(need_pot))
+        bool(need_pot),
+        tuple(float(v) for v in pbc) if pbc is not None else None)
 
     # scatter slots back to sorted particle order (dump row n for dead
     # slots; real indices are unique by construction)
@@ -809,9 +972,13 @@ def fused_gravity_tree(tree, mass, eps, old_acc, *, theta=0.5, opening=1,
     pot = pot_s[inv]
     # remove spline self-potential (potential.c:136) — in shard mode the
     # caller applies it AFTER the cross-shard psum (it would otherwise be
-    # summed n_shards times)
+    # summed n_shards times). In TreePM (pbc) mode the near pass's self
+    # pair contributed m*(-1/eps + 2 alpha/sqrt(pi)); remove BOTH (the
+    # mesh-side self terms are the PM caller's to fix, see ops/pm.py).
     if need_pot and shard is None:
         pot = pot + mass / jnp.maximum(eps, 1e-30)
+        if pbc is not None:
+            pot = pot - mass * (2.0 * float(pbc[1]) / (jnp.pi ** 0.5))
         pot = jnp.where(valid, pot, 0.0)
     acc = jnp.where(valid[:, None], acc, 0.0)
     if return_info:
@@ -822,10 +989,13 @@ def fused_gravity_tree(tree, mass, eps, old_acc, *, theta=0.5, opening=1,
 def fused_gravity(pos, mass, eps, old_acc, *, theta=0.5, opening=1,
                   err_tol_force_acc=0.005, depth: Optional[int] = None,
                   config: Optional[FusedConfig] = None,
-                  return_info: bool = False, need_pot: bool = True):
+                  return_info: bool = False, need_pot: bool = True,
+                  pbc: Optional[tuple] = None):
     """Raw acceleration and potential (no G factor) for all particles.
 
-    Drop-in for treeforce.tree_gravity on non-periodic runs."""
+    Drop-in for treeforce.tree_gravity on non-periodic runs. With
+    pbc=(box, alpha, rcut) it returns the TreePM SHORT-RANGE part only;
+    the caller adds ops.pm.pm_accel's long-range mesh force."""
     n = pos.shape[0]
     if depth is None:
         depth = default_depth(n)
@@ -833,8 +1003,9 @@ def fused_gravity(pos, mass, eps, old_acc, *, theta=0.5, opening=1,
         raise ValueError("fused engine packs indices as exact f32; "
                          "N per shard must be <= 2^24")
     valid = mass > 0
-    tree = build_octree(pos, mass, eps, valid, box=0.0, depth=depth)
+    tree = build_octree(pos, mass, eps, valid,
+                        box=pbc[0] if pbc is not None else 0.0, depth=depth)
     return fused_gravity_tree(
         tree, mass, eps, old_acc, theta=theta, opening=opening,
         err_tol_force_acc=err_tol_force_acc, config=config,
-        return_info=return_info, need_pot=need_pot)
+        return_info=return_info, need_pot=need_pot, pbc=pbc)
