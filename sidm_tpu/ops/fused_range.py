@@ -96,14 +96,23 @@ def pack_range_tree(tree: Octree, rows_sorted) -> RangeTree:
                      n_levels=tuple(tree.n_nodes))
 
 
-def _range_classify(rows, glo, ghi, pad, s_l, leaf_cap, last_level):
+def _range_classify(rows, glo, ghi, pad, s_l, leaf_cap, last_level,
+                    box=0.0):
     """Descend/accept decision: cell box (center +- s_l/2) within ``pad``
-    of the group bbox."""
+    of the group bbox. box > 0: minimum-image distances."""
     ctr = rows[..., _CTR]
     cnt = rows[..., _CNT]
     half = 0.5 * s_l
-    dx = jnp.maximum(jnp.maximum(glo[:, None, :] - ctr, ctr - ghi[:, None, :])
-                     - half, 0.0)
+    if box:
+        gc = 0.5 * (glo + ghi)[:, None, :]
+        hw = 0.5 * (ghi - glo)[:, None, :]
+        delta = ctr - gc
+        delta = delta - box * jnp.round(delta / box)
+        dx = jnp.maximum(jnp.abs(delta) - hw - half, 0.0)
+    else:
+        dx = jnp.maximum(
+            jnp.maximum(glo[:, None, :] - ctr, ctr - ghi[:, None, :])
+            - half, 0.0)
     d2 = jnp.sum(dx * dx, axis=-1)                        # (GB, WC)
     inr = d2 <= (pad * pad)[:, None]
     live = (cnt > 0) & inr
@@ -116,7 +125,7 @@ def _range_classify(rows, glo, ghi, pad, s_l, leaf_cap, last_level):
 
 
 def _sidm_near_tile(ent, rows16, gt, gv, gh, gdt, gty, gidx, salt, time,
-                    sigma_co, params: SidmParams):
+                    sigma_co, params: SidmParams, box=0.0):
     """DSMC pair pass of packed segment entries against one group block.
 
     ent: (GB, SC) packed start*32+cnt (IMAX dead). Per-target returns
@@ -163,6 +172,10 @@ def _sidm_near_tile(ent, rows16, gt, gv, gh, gdt, gty, gidx, salt, time,
     d0 = gt[:, :, None, 0] - spx[:, None, :]
     d1 = gt[:, :, None, 1] - spy[:, None, :]
     d2c = gt[:, :, None, 2] - spz[:, None, :]
+    if box:
+        d0 = d0 - box * jnp.round(d0 / box)
+        d1 = d1 - box * jnp.round(d1 / box)
+        d2c = d2c - box * jnp.round(d2c / box)
     r = jnp.sqrt(d0 * d0 + d1 * d1 + d2c * d2c)           # (GB, G, S)
 
     ok = (okw[:, None, :] & (j_idx[:, None, :] != gidx[:, :, None])
@@ -193,7 +206,8 @@ def _sidm_near_tile(ent, rows16, gt, gv, gh, gdt, gty, gidx, salt, time,
 
 def _sidm_near_level(state, seg_sorted, max_live, rt: RangeTree, gt_b, gv_b,
                      gh_b, gdt_b, gty_b, gidx_b, salt, time, sigma_co,
-                     params: SidmParams, cfg: FusedConfig, NB, GB):
+                     params: SidmParams, cfg: FusedConfig, NB, GB,
+                     box=0.0):
     """Near DSMC pass over one level's sorted (ng, W) segment-key plane."""
     ptot, ncnt, bestk, bestj = state
     ng, W = seg_sorted.shape
@@ -212,7 +226,7 @@ def _sidm_near_level(state, seg_sorted, max_live, rt: RangeTree, gt_b, gv_b,
             e = lax.dynamic_slice(ent_b, (jnp.int32(0), ci * SC), (GB, SC))
             dp, dc, key, j_idx = _sidm_near_tile(
                 e, rt.rows16, gtb, gvb, ghb, gdtb, gtyb, gidxb, salt,
-                time, sigma_co, params)
+                time, sigma_co, params, box)
             km = jnp.max(key, axis=-1)                    # (GB, G)
             jm = jnp.max(jnp.where(key == km[..., None],
                                    j_idx[:, None, :], -1), axis=-1)
@@ -241,7 +255,7 @@ def _sidm_near_level(state, seg_sorted, max_live, rt: RangeTree, gt_b, gv_b,
 
 
 def _range_level_pass(fids, live_w, tbl, s_l, nl_real, glo_b, ghi_b, pad_b,
-                      *, W, WC, last, cfg, NB, GB, ng):
+                      *, W, WC, last, cfg, NB, GB, ng, box=0.0):
     """One level of the range walk: classify the frontier, emit seg/open
     (and big at the last level) key planes."""
 
@@ -262,7 +276,7 @@ def _range_level_pass(fids, live_w, tbl, s_l, nl_real, glo_b, ghi_b, pad_b,
             rows = tbl[jnp.clip(ids, 0, tbl.shape[0] - 1)]
             rows = jnp.where(dead[..., None], 0.0, rows)
             seg, opn, big = _range_classify(rows, glob, ghib, padb, s_l,
-                                            cfg.leaf_cap, last)
+                                            cfg.leaf_cap, last, box)
             starts = rows[..., _NSTART].astype(jnp.int32)
             cnts = rows[..., _CNT].astype(jnp.int32)
             sk = jnp.where(seg, starts * 32 + jnp.minimum(cnts, 31), IMAX)
@@ -290,10 +304,12 @@ def _range_level_pass(fids, live_w, tbl, s_l, nl_real, glo_b, ghi_b, pad_b,
             bigk.reshape(ng, W))
 
 
-@partial(jax.jit, static_argnames=("cfg", "depth", "n_real", "params"))
+@partial(jax.jit, static_argnames=("cfg", "depth", "n_real", "params",
+                                   "box"))
 def _range_eval(rt: RangeTree, gt, gv, gh, gdt, gty, gidx, glo, ghi, pad,
                 extent, origin, salt, time, sigma_co, cfg: FusedConfig,
-                depth: int, n_real: int, params: SidmParams):
+                depth: int, n_real: int, params: SidmParams,
+                box: float = 0.0):
     """Range walk + DSMC near pass over all levels (scan-consolidated like
     fused_force._fused_eval). Returns per-slot (ptot, cnt, bestk, bestj)."""
     ng, G, _ = gt.shape
@@ -337,13 +353,13 @@ def _range_eval(rt: RangeTree, gt, gv, gh, gdt, gty, gidx, glo, ghi, pad,
         segk, openk, bigk = _range_level_pass(
             fids, live_w, tbl, s_l, nl_real, glo_b, ghi_b, pad_b,
             W=W, WC=min(cfg.wc, W), last=last, cfg=cfg, NB=NB, GB=GB,
-            ng=ng)
+            ng=ng, box=box)
         seg_sorted = jnp.sort(segk, axis=1)
         n_seg = jnp.sum((segk != IMAX).astype(jnp.int32), axis=1)
         state = _sidm_near_level(
             state, seg_sorted, jnp.max(n_seg.reshape(NB, GB), axis=1),
             rt, gt_b, gv_b, gh_b, gdt_b, gty_b, gidx_b, salt, time,
-            sigma_co, params, cfg, NB, GB)
+            sigma_co, params, cfg, NB, GB, box)
         if last:
             return state, None, None, ovf, bigk
         fids, live_w, ovf, _ = _expand_open(
@@ -400,7 +416,7 @@ def _range_eval(rt: RangeTree, gt, gv, gh, gdt, gty, gidx, glo, ghi, pad,
     state = _sidm_near_level(
         state, bkey, jnp.max(n_bk.reshape(NB, GB), axis=1),
         rt, gt_b, gv_b, gh_b, gdt_b, gty_b, gidx_b, salt, time, sigma_co,
-        params, cfg, NB, GB)
+        params, cfg, NB, GB, box)
     n_big = jnp.sum((bigk != IMAX).astype(jnp.int32), axis=1)
     ovf = ovf.at[1].add(
         jnp.sum(jnp.maximum(n_big - cfg.big_cap, 0))
@@ -442,9 +458,11 @@ def make_gated_windows(keys_s, hs, n: int, G: int, depth: int,
 
 def sidm_scatter_fused(p, pos_pred, tree: Octree, time, active, vmax, key,
                        params: SidmParams, cfg: Optional[FusedConfig] = None,
-                       salt: int = 0, return_info: bool = False):
-    """Fused-frontier DSMC pass: drop-in for sidm_scatter_tree (isolated
-    runs; the periodic box stays on the segment engine for now)."""
+                       salt: int = 0, return_info: bool = False,
+                       box: float = 0.0):
+    """Fused-frontier DSMC pass: drop-in for sidm_scatter_tree. box > 0
+    selects minimum-image distances (periodic runs; the tree must be
+    built on the box cube)."""
     from .sidm_tree import _tree_sidm_finish, _tree_sidm_prep
 
     # group_block=32: measured 5.6/5.7/6.7/8.9 s per SIDM pass at
@@ -475,9 +493,15 @@ def sidm_scatter_fused(p, pos_pred, tree: Octree, time, active, vmax, key,
     glo = jnp.min(jnp.where(live_t[..., None], gt, big), axis=1)
     ghi = jnp.max(jnp.where(live_t[..., None], gt, -big), axis=1)
     any_v = jnp.any(live_t, axis=1)
-    far_here = tree.origin + 4.0 * tree.extent
-    glo = jnp.where(any_v[:, None], glo, far_here)
-    ghi = jnp.where(any_v[:, None], ghi, far_here)
+    if box:
+        # no 'far outside' under the minimum image: park dead groups
+        # with an inverted huge bbox (see fused_force parking note)
+        glo = jnp.where(any_v[:, None], glo, jnp.asarray(1e18, gt.dtype))
+        ghi = jnp.where(any_v[:, None], ghi, jnp.asarray(-1e18, gt.dtype))
+    else:
+        far_here = tree.origin + 4.0 * tree.extent
+        glo = jnp.where(any_v[:, None], glo, far_here)
+        ghi = jnp.where(any_v[:, None], ghi, far_here)
     # tree.drift inflates the containment pad on a refreshed frozen
     # topology: leaf particles can sit outside their nominal cell by the
     # accumulated displacement since the topology build
@@ -486,7 +510,7 @@ def sidm_scatter_fused(p, pos_pred, tree: Octree, time, active, vmax, key,
     ptot, ncnt, bestk, bestj, ovf = _range_eval(
         rt, gt, gv, gh, gdt, gty, gidx, glo, ghi, pad, tree.extent,
         tree.origin, jnp.uint32(salt & 0xFFFFFFFF), time, sigma_co, cfg,
-        depth, n, params)
+        depth, n, params, float(box))
 
     inv = jnp.zeros(n, jnp.int32).at[tree.perm].set(
         jnp.arange(n, dtype=jnp.int32))
@@ -515,7 +539,7 @@ def sidm_scatter_fused(p, pos_pred, tree: Octree, time, active, vmax, key,
 
 def tree_hsml_init_fused(p, tree: Octree, k: int,
                          cfg: Optional[FusedConfig] = None,
-                         iters: int = 10):
+                         iters: int = 10, box: float = 0.0):
     """Initial smoothing lengths via the fused range walk
     (setup_smoothinglengths_sidm analog, init.c:159; replaces the
     segment-budget walk of sidm_tree.tree_hsml_init, whose fixed cap
@@ -595,14 +619,20 @@ def tree_hsml_init_fused(p, tree: Octree, k: int,
         glo = jnp.min(jnp.where(live_t[..., None], gt, big), axis=1)
         ghi = jnp.max(jnp.where(live_t[..., None], gt, -big), axis=1)
         any_v = jnp.any(live_t, axis=1)
-        glo = jnp.where(any_v[:, None], glo, far_here)
-        ghi = jnp.where(any_v[:, None], ghi, far_here)
+        if box:
+            glo = jnp.where(any_v[:, None], glo, jnp.asarray(1e18, dtype))
+            ghi = jnp.where(any_v[:, None], ghi,
+                            jnp.asarray(-1e18, dtype))
+        else:
+            glo = jnp.where(any_v[:, None], glo, far_here)
+            ghi = jnp.where(any_v[:, None], ghi, far_here)
         pad = jnp.max(jnp.where(live_t, gh, 0.0), axis=1)
 
         _, ncnt, _, _, ovf = _range_eval(
             rt, gt, gv, gh, gdt, gty, gidx, glo, ghi, pad, tree.extent,
             tree.origin, jnp.uint32(it), jnp.asarray(1.0, dtype),
-            jnp.asarray(0.0, dtype), cfg, depth, n, _HSML_PARAMS)
+            jnp.asarray(0.0, dtype), cfg, depth, n, _HSML_PARAMS,
+            float(box))
 
         flat_idx = jnp.where(gvalid, pidx, n).reshape(-1)
         cnt_sorted = jnp.zeros(n + 1, jnp.int32).at[flat_idx].set(

@@ -42,27 +42,31 @@ def _gather(x):
 
 def _fused_sharded_force(pos, mass, eps, oldacc, nsh, *, theta, opening,
                          err_tol_force_acc, fused_config=None,
-                         need_pot=True):
+                         need_pot=True, pbc=None):
     """Group-sharded fused force over REPLICATED (gathered) arrays.
 
     Every device builds the same tree and walks a strided slice of the
     target-group blocks; partial full-length acc/pot are psum-reduced over
     the mesh axis (the ICI analog of gravtree.c:208-222's reverse exchange
     + partial-force summation). Returns FULL-length (acc, pot); the caller
-    slices its local rows and adds the self-potential term."""
+    slices its local rows and adds the self-potential term.
+
+    pbc=(box, alpha, rcut): TreePM short-range mode (the caller adds the
+    mesh force and the periodic potential constants)."""
     from ..ops.fused_force import (FusedConfig, default_depth,
                                    fused_gravity_tree)
     from ..ops.tree import build_octree
 
     n = pos.shape[0]
     fcfg = fused_config or FusedConfig()
-    tree = build_octree(pos, mass, eps, mass > 0, box=0.0,
+    tree = build_octree(pos, mass, eps, mass > 0,
+                        box=pbc[0] if pbc is not None else 0.0,
                         depth=default_depth(n))
     sidx = lax.axis_index(AXIS)
     acc, pot = fused_gravity_tree(
         tree, mass, eps, oldacc, theta=theta, opening=opening,
         err_tol_force_acc=err_tol_force_acc, config=fcfg,
-        need_pot=need_pot, shard=(sidx, nsh))
+        need_pot=need_pot, shard=(sidx, nsh), pbc=pbc)
     acc = lax.psum(acc, AXIS)
     pot = lax.psum(pot, AXIS) if need_pot else pot
     return acc, pot, tree
@@ -76,18 +80,24 @@ def _local_slice(x, nloc):
 def make_sharded_force(mesh: Mesh, *, theta=0.5, opening=1,
                        err_tol_force_acc=0.005, box=None, ewald=None,
                        walk_config=None, depth: int = 10,
-                       fused_config=None):
+                       fused_config=None, pm_kernel=None):
     """Sharded tree gravity: (pos_local, mass_local, eps_local, oldacc_local)
     -> (acc_local, pot_local).
 
     Non-periodic runs use the fused frontier engine with group-block
-    sharding + psum; periodic (Ewald) runs use the legacy flat-pair walk
-    with local targets against a replicated tree."""
+    sharding + psum. Periodic runs with pm_kernel use the TreePM split
+    (group-sharded screened walk + a REPLICATED mesh solve over the
+    gathered positions — the mesh is a few ms of MXU DFTs, far below one
+    walk shard); without pm_kernel they use the legacy flat-pair Ewald
+    walk with local targets against a replicated tree."""
     from ..ops.tree import build_octree
     from ..ops.treeforce import WalkConfig, eval_targets
 
     cfg = walk_config or WalkConfig()
-    use_fused = not box
+    use_fused = (not box) or (pm_kernel is not None)
+    pbc = None
+    if box and pm_kernel is not None:
+        pbc = (float(box), pm_kernel.alpha, pm_kernel.rcut)
     nsh = mesh.devices.size
 
     @partial(shard_map, mesh=mesh,
@@ -103,7 +113,7 @@ def make_sharded_force(mesh: Mesh, *, theta=0.5, opening=1,
             acc_f, pot_f, _ = _fused_sharded_force(
                 pos, mass, eps, oldacc, nsh, theta=theta, opening=opening,
                 err_tol_force_acc=err_tol_force_acc,
-                fused_config=fused_config)
+                fused_config=fused_config, pbc=pbc)
             nloc = pos_l.shape[0]
             acc = _local_slice(acc_f, nloc)
             pot = _local_slice(pot_f, nloc)
@@ -115,6 +125,15 @@ def make_sharded_force(mesh: Mesh, *, theta=0.5, opening=1,
                 tree, pos_l, eps_l, toac, mass_l > 0, box=box, theta=theta,
                 use_relative=(opening == 1), config=cfg, ewald=ewald)
         pot = pot + mass_l / jnp.maximum(eps_l, 1e-30)
+        if pbc is not None:
+            from ..ops.pm import pm_accel
+            acc_m, pot_m = pm_accel(pm_kernel, pos, mass,
+                                    with_potential=True)
+            nloc = pos_l.shape[0]
+            acc = acc + _local_slice(acc_m, nloc)
+            pot = (pot - mass_l * (2.0 * pbc[1] / (jnp.pi ** 0.5))
+                   + _local_slice(pot_m, nloc)
+                   + mass_l * (2.8372975 / pbc[0] - pm_kernel.pot_self))
         pot = jnp.where(mass_l > 0, pot, 0.0)
         acc = jnp.where((mass_l > 0)[:, None], acc, 0.0)
         return acc, pot
@@ -126,18 +145,23 @@ def make_multichip_step(mesh: Mesh, consts, ts_params, *, theta=0.5,
                         opening=1, err_tol_force_acc=0.005,
                         sidm_params=None, box=None, ewald=None,
                         synchronized=True, time_max=1e30, walk_config=None,
-                        depth: int = 10, fused_config=None):
+                        depth: int = 10, fused_config=None, pm_kernel=None):
     """Full sharded timestep: predict -> gravity -> SIDM -> advance ->
     reflect/wrap -> timesteps. Mirrors simulation._build_step on shards.
 
     Non-periodic runs use the FUSED frontier engines (group-sharded force
-    + psum; replicated fused-range DSMC); periodic runs use the legacy
-    flat-pair walk + cell-hash DSMC."""
+    + psum; replicated fused-range DSMC). Periodic runs with pm_kernel
+    use the TreePM split (sharded screened walk + replicated mesh solve
+    + fused-range DSMC with minimum-image); without pm_kernel they fall
+    back to the legacy flat-pair Ewald walk + cell-hash DSMC."""
     from ..ops.tree import build_octree
     from ..ops.treeforce import WalkConfig, eval_targets
 
     cfg = walk_config or WalkConfig()
-    use_fused = not box
+    use_fused = (not box) or (pm_kernel is not None)
+    pbc = None
+    if box and pm_kernel is not None:
+        pbc = (float(box), pm_kernel.alpha, pm_kernel.rcut)
     nsh = mesh.devices.size
     specs_p = Particles(*([P(AXIS)] * len(dataclasses.fields(Particles))))
 
@@ -168,7 +192,7 @@ def make_multichip_step(mesh: Mesh, consts, ts_params, *, theta=0.5,
             acc_f, pot_f, tree = _fused_sharded_force(
                 pos, mass, eps, oldacc, nsh, theta=theta, opening=opening,
                 err_tol_force_acc=err_tol_force_acc,
-                fused_config=fused_config)
+                fused_config=fused_config, pbc=pbc)
             raw_acc = _local_slice(acc_f, nloc)
             pot = _local_slice(pot_f, nloc)
         else:
@@ -179,6 +203,14 @@ def make_multichip_step(mesh: Mesh, consts, ts_params, *, theta=0.5,
                 p_l.mass > 0, box=box, theta=theta,
                 use_relative=(opening == 1), config=cfg, ewald=ewald)
         pot = pot + p_l.mass / jnp.maximum(eps_l, 1e-30)
+        if pbc is not None:
+            from ..ops.pm import pm_accel
+            acc_m, pot_m = pm_accel(pm_kernel, pos, mass,
+                                    with_potential=True)
+            raw_acc = raw_acc + _local_slice(acc_m, nloc)
+            pot = (pot - p_l.mass * (2.0 * pbc[1] / (jnp.pi ** 0.5))
+                   + _local_slice(pot_m, nloc)
+                   + p_l.mass * (2.8372975 / pbc[0] - pm_kernel.pot_self))
         accel_l, old_acc_l = integrate.apply_accel_postfactors(
             raw_acc, pos_pred_l, vel_pred_l, t_next, consts)
         p_l = dataclasses.replace(
@@ -199,7 +231,7 @@ def make_multichip_step(mesh: Mesh, consts, ts_params, *, theta=0.5,
                 from ..ops.fused_range import sidm_scatter_fused
                 p_g2, n_scat = sidm_scatter_fused(
                     p_g, pos_pred_g, tree, t_next, active_g, vmax, key,
-                    sidm_params)
+                    sidm_params, box=(pbc[0] if pbc is not None else 0.0))
             else:
                 from ..ops.sidm import sidm_scatter
                 p_g2, n_scat = sidm_scatter(p_g, pos_pred_g, t_next,

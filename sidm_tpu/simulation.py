@@ -181,6 +181,30 @@ class Simulation:
                 cache_dir=self.cfg.OutputDir or ".")
         return self._ewald_cache
 
+    def _use_treepm(self):
+        """Periodic tree runs default to the TreePM split (ops/pm.py);
+        PMGrid=-1 selects the legacy per-pair Ewald walk."""
+        return (self.cfg.PeriodicBoundariesOn
+                and self.cfg.ForceMethod == "tree"
+                and self.cfg.PMGrid >= 0)
+
+    def _pm_kernel(self):
+        """Mesh operator for the TreePM long-range force (cached)."""
+        if getattr(self, "_pm_cache", None) is None:
+            from .ops.pm import build_pm_kernel
+            n_mesh = int(self.cfg.PMGrid)
+            if n_mesh == 0:
+                npart = (self.particles.pos.shape[0]
+                         if self.particles is not None else 1 << 20)
+                n_mesh = 64
+                while n_mesh < 2.0 * npart ** (1.0 / 3.0) and n_mesh < 512:
+                    n_mesh *= 2
+            self._pm_cache = build_pm_kernel(
+                float(self.cfg.BoxSize), n=n_mesh,
+                asmth=float(self.cfg.PMAsmth),
+                rcut_fac=float(self.cfg.PMRcutFac))
+        return self._pm_cache
+
     def _make_force_fn(self):
         if self._force_fn is not None:
             return self._force_fn
@@ -195,8 +219,6 @@ class Simulation:
                                       eps, box=box, ewald=ewald)
         elif self.cfg.ForceMethod == "tree" and box is None:
             # fused frontier engine: the fast non-periodic tree path
-            # (periodic runs need per-interaction Ewald lookups and
-            # minimum-image, which stay on the legacy flat-pair engine)
             from .ops.fused_force import fused_gravity
 
             def force(pos_pred, p, soft_tab, need_pot=False):
@@ -211,6 +233,33 @@ class Simulation:
                     opening=self.cfg.TypeOfOpeningCriterion,
                     err_tol_force_acc=self.cfg.ErrTolForceAcc,
                     need_pot=need_pot)
+        elif self._use_treepm():
+            # TreePM: screened short range in the fused walk + k-space
+            # mesh (replaces per-interaction Ewald lookups; ops/pm.py)
+            from .ops.fused_force import fused_gravity
+            from .ops.pm import pm_accel
+            kern = self._pm_kernel()
+            pbc = (float(box), kern.alpha, kern.rcut)
+            psi0 = 2.8372975 / float(box)       # ewald.c:104-105 self term
+
+            def force(pos_pred, p, soft_tab, need_pot=False):
+                eps = soft_tab[jnp.clip(p.ptype, 0, 5)]
+                mass = jnp.where(p.valid, p.mass, 0.0)
+                acc_s, pot_s = fused_gravity(
+                    pos_pred, mass, eps, p.old_acc,
+                    theta=self.cfg.ErrTolTheta,
+                    opening=self.cfg.TypeOfOpeningCriterion,
+                    err_tol_force_acc=self.cfg.ErrTolForceAcc,
+                    need_pot=need_pot, pbc=pbc)
+                acc_l, pot_l = pm_accel(kern, pos_pred, mass,
+                                        with_potential=need_pot)
+                acc = acc_s + acc_l
+                if need_pot:
+                    pot = pot_s + pot_l + mass * (psi0 - kern.pot_self)
+                    pot = jnp.where(p.valid, pot, 0.0)
+                else:
+                    pot = pot_s
+                return acc, pot
         else:
             from .ops.treeforce import tree_gravity
 
@@ -353,7 +402,11 @@ class Simulation:
         from .ops.treeforce import WalkConfig, eval_targets
 
         wcfg = WalkConfig()
-        use_fused = (cfg.ForceMethod == "tree" and boxv is None)
+        use_treepm = self._use_treepm()
+        use_fused = (cfg.ForceMethod == "tree"
+                     and (boxv is None or use_treepm))
+        pm_kern = None
+        pbc = None
         if use_fused:
             from .ops.fused_force import (FusedConfig, default_depth,
                                           fused_gravity_tree)
@@ -361,6 +414,19 @@ class Simulation:
             # 21.4 s at group_block=256 on NFW 1e6 (per-block live-width
             # bounds need small cost-homogeneous blocks)
             fcfg = FusedConfig()
+            if use_treepm:
+                from .ops.pm import pm_accel
+                pm_kern = self._pm_kernel()
+                pbc = (float(boxv), pm_kern.alpha, pm_kern.rcut)
+
+        # static promise for the tree build: one softening value across
+        # all types present (single-species DM runs) — node eps_max then
+        # broadcasts instead of paying a per-level segment_max
+        present = (set(np.unique(np.asarray(self.particles.ptype)).tolist())
+                   if self.particles is not None else set(range(6)))
+        soft_now = softening_table(cfg, self.time)
+        uniform_eps = (not cfg.ComovingIntegrationOn
+                       and len({float(soft_now[t]) for t in present}) == 1)
 
         def _force_core(p: Particles, vmax, tree_in):
             """Shared body of the force phase. tree_in None = fresh
@@ -377,7 +443,9 @@ class Simulation:
                 # one deep tree shared by gravity and the SIDM range walk
                 if tree_in is None:
                     tree = build_octree(pos_pred, mass, eps, p.valid,
-                                        box=0.0, depth=default_depth(n))
+                                        box=boxv or 0.0,
+                                        depth=default_depth(n),
+                                        uniform_eps=uniform_eps)
                 else:
                     tree = refresh_octree(tree_in, pos_pred, mass, eps,
                                           p.valid)
@@ -386,7 +454,11 @@ class Simulation:
                     theta=cfg.ErrTolTheta,
                     opening=cfg.TypeOfOpeningCriterion,
                     err_tol_force_acc=cfg.ErrTolForceAcc,
-                    config=fcfg, need_pot=False)
+                    config=fcfg, need_pot=False, pbc=pbc)
+                if use_treepm:
+                    acc_l, _ = pm_accel(pm_kern, pos_pred, mass,
+                                        with_potential=False)
+                    raw_acc = raw_acc + acc_l
             else:
                 del tree_in  # legacy periodic path rebuilds every step
                 tree = build_octree(pos_pred, mass, eps, p.valid,
@@ -514,11 +586,11 @@ class Simulation:
         if self.cfg.SIDMOn and self.cfg.CrossSection > 0:
             params = self._sidm_params_for_phased()
             box = self.cfg.BoxSize if self.cfg.PeriodicBoundariesOn else 0.0
-            if box == 0.0 and self.cfg.ForceMethod == "tree":
+            if self.cfg.ForceMethod == "tree":
                 from .ops.fused_range import sidm_scatter_fused
                 out = sidm_scatter_fused(p, pos_pred, tree, t_next, active,
                                          vmax, key, params,
-                                         salt=self.step_count)
+                                         salt=self.step_count, box=box)
             else:
                 out = sidm_scatter_tree(p, pos_pred, tree, t_next, active,
                                         vmax, key, params, box=box,
@@ -556,13 +628,14 @@ class Simulation:
                                    self.dtype)
                 eps = soft[jnp.clip(p.ptype, 0, 5)]
                 box = cfg.BoxSize if cfg.PeriodicBoundariesOn else 0.0
-                if box == 0.0 and cfg.ForceMethod == "tree":
+                if cfg.ForceMethod == "tree":
                     from .ops.fused_force import default_depth
                     from .ops.fused_range import tree_hsml_init_fused
                     tree = build_octree(
                         p.pos, jnp.where(p.valid, p.mass, 0.0), eps,
-                        p.valid, box=0.0, depth=default_depth(p.n_padded))
-                    p = tree_hsml_init_fused(p, tree, cfg.DesNumNgb)
+                        p.valid, box=box, depth=default_depth(p.n_padded))
+                    p = tree_hsml_init_fused(p, tree, cfg.DesNumNgb,
+                                             box=box)
                 else:
                     from .ops.sidm_tree import tree_hsml_init
                     tree = build_octree(

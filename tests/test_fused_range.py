@@ -124,3 +124,26 @@ def test_fused_walk_no_overflow():
     assert int(info["ovf_open"]) == 0, int(info["ovf_open"])
     assert int(info["ovf_big"]) == 0, int(info["ovf_big"])
     assert int(info["n_gated"]) > 0
+
+
+def test_periodic_hsml_counts_exact_min_image():
+    """tree_hsml_init_fused(box=...) neighbour counts equal brute-force
+    minimum-image counts for a cluster straddling the box corner."""
+    from sidm_tpu.ops.fused_range import tree_hsml_init_fused
+
+    box = 50.0
+    n = 2048
+    rng = np.random.default_rng(3)
+    pos = (rng.standard_normal((n, 3)) * 3.0) % box
+    p = make_particles(pos, np.zeros((n, 3)), np.ones(n),
+                       np.ones(n, np.int32), pad_to_multiple=n)
+    eps = jnp.full(n, 0.1, jnp.float32)
+    tree = build_octree(p.pos, p.mass, eps, p.valid, box=box, depth=8)
+    p2 = tree_hsml_init_fused(p, tree, 30, box=box)
+    h = np.asarray(p2.hsml_vd)
+    cnt = np.asarray(p2.ngb_vd)
+    d = pos[None, :, :] - pos[:, None, :]
+    d -= box * np.round(d / box)
+    r = np.sqrt((d ** 2).sum(-1))
+    want = ((r < h[:, None]).sum(1) - 1).astype(np.int32)
+    np.testing.assert_array_equal(cnt, want)

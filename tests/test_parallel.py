@@ -122,3 +122,37 @@ def test_multichip_step_matches_singlechip_force():
     assert float(t) == pytest.approx(float(t1))
     np.testing.assert_allclose(np.asarray(p2.accel), np.asarray(p1.accel),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_sharded_treepm_matches_single_device():
+    """Periodic TreePM sharded force == single-device TreePM assembly."""
+    from sidm_tpu.ops import pm
+    from sidm_tpu.ops.fused_force import fused_gravity
+
+    box = 50.0
+    rng = np.random.default_rng(9)
+    n = N
+    pos_np = rng.uniform(0, box, (n, 3)).astype(np.float32)
+    pos_np[:n // 2] = (25.0 + rng.standard_normal((n // 2, 3)) * 3.0) % box
+    pos = jnp.asarray(pos_np)
+    mass = jnp.asarray(rng.uniform(0.5, 1.5, n).astype(np.float32))
+    eps = jnp.full(n, 0.1, jnp.float32)
+    oldacc = jnp.zeros(n, jnp.float32)
+
+    kern = pm.build_pm_kernel(box, n=64, asmth=2.0, rcut_fac=6.0)
+    mesh = make_mesh(8)
+    force = make_sharded_force(mesh, theta=0.5, opening=0, box=box,
+                               pm_kernel=kern)
+    acc_sh, pot_sh = jax.jit(force)(pos, mass, eps, oldacc)
+
+    pbc = (box, kern.alpha, kern.rcut)
+    acc_s, pot_s = fused_gravity(pos, mass, eps, oldacc, theta=0.5,
+                                 opening=0, pbc=pbc)
+    acc_m, pot_m = pm.pm_accel(kern, pos, mass, with_potential=True)
+    acc_1 = acc_s + acc_m
+    pot_1 = pot_s + pot_m + mass * (2.8372975 / box - kern.pot_self)
+    scale = float(jnp.percentile(jnp.linalg.norm(acc_1, axis=1), 50))
+    np.testing.assert_allclose(np.asarray(acc_sh), np.asarray(acc_1),
+                               rtol=2e-4, atol=2e-4 * scale)
+    np.testing.assert_allclose(np.asarray(pot_sh), np.asarray(pot_1),
+                               rtol=2e-4, atol=2e-4)
