@@ -283,6 +283,23 @@ class Simulation:
 
     # ------------------------------------------------------------------- step
 
+    def _has_gas(self) -> bool:
+        return bool(self.particles is not None
+                    and np.any(np.asarray(self.particles.ptype) == 0))
+
+    def _sph_params(self):
+        from .ops.sph import SphParams
+        return SphParams(
+            des_num_ngb=self.cfg.DesNumNgb,
+            max_num_ngb_dev=self.cfg.MaxNumNgbDeviation,
+            art_bulk_visc=self.cfg.ArtBulkViscConst,
+            min_egy_spec=self.units.MinEgySpec,
+            min_gas_hsml=self.cfg.MinGasHsmlFractional
+            * self.cfg.SofteningGas,
+            comoving=bool(self.cfg.ComovingIntegrationOn),
+            hubble=self.units.Hubble, omega0=self.cfg.Omega0,
+            omega_lambda=self.cfg.OmegaLambda)
+
     def _build_step(self):
         consts = self.consts
         params = self._timestep_params()
@@ -290,24 +307,10 @@ class Simulation:
         sidm_fn = self._make_sidm_fn()
         sync = self.mode != "individual"
         time_max = self.cfg.TimeMax
-        has_gas = bool(self.particles is not None
-                       and np.any(np.asarray(self.particles.ptype) == 0))
+        has_gas = self._has_gas()
         veldisp_on = bool(self.cfg.VelDispOn)
         self_des_ngb = self.cfg.DesNumNgb
-        if has_gas:
-            from .ops.sph import SphParams
-            sph_params = SphParams(
-                des_num_ngb=self.cfg.DesNumNgb,
-                max_num_ngb_dev=self.cfg.MaxNumNgbDeviation,
-                art_bulk_visc=self.cfg.ArtBulkViscConst,
-                min_egy_spec=self.units.MinEgySpec,
-                min_gas_hsml=self.cfg.MinGasHsmlFractional
-                * self.cfg.SofteningGas,
-                comoving=bool(self.cfg.ComovingIntegrationOn),
-                hubble=self.units.Hubble, omega0=self.cfg.Omega0,
-                omega_lambda=self.cfg.OmegaLambda)
-        else:
-            sph_params = None
+        sph_params = self._sph_params() if has_gas else None
 
         @partial(jax.jit, static_argnums=(3,))
         def do_step(p: Particles, vmax, key, first):
@@ -484,7 +487,7 @@ class Simulation:
                 old_acc=jnp.where(active, old_acc, p.old_acc),
                 pot=jnp.where(active, pot, p.pot),
             )
-            return p, t_next, active, pos_pred, tree
+            return p, t_next, active, pos_pred, vel_pred, tree
 
         @partial(jax.jit, static_argnums=())
         def phase_force(p: Particles, vmax):
@@ -493,6 +496,29 @@ class Simulation:
         @partial(jax.jit, static_argnums=())
         def phase_force_refresh(p: Particles, vmax, tree_in):
             return _force_core(p, vmax, tree_in)
+
+        sph_params = self._sph_params() if self._has_gas() else None
+
+        @jax.jit
+        def phase_gas(p: Particles, t_next, active, pos_pred, vel_pred):
+            """density(); hydro_force() — the gas half of
+            compute_accelerations (accel.c:71-116) as its own phase so
+            large-N (phased) gas runs integrate hydro too. pos/vel_pred
+            come from the FORCE phase (predicted with the pre-step
+            accel, predict.c semantics — recomputing here would use the
+            just-updated accel)."""
+            from .ops.sph import hydro_force, sph_density
+            boxv = consts.box_size if consts.periodic else 0.0
+            p, ngb_table = sph_density(p, pos_pred, vel_pred, t_next,
+                                       active, sph_params, box=boxv)
+            h_acc, dt_egy = hydro_force(p, pos_pred, vel_pred, t_next,
+                                        active, sph_params, ngb_table,
+                                        box=boxv)
+            upd = active & p.is_gas
+            return dataclasses.replace(
+                p,
+                accel=p.accel + jnp.where(upd[:, None], h_acc, 0.0),
+                dt_egy=jnp.where(upd, dt_egy, p.dt_egy))
 
         @partial(jax.jit, static_argnums=(4,))
         def phase_finish(p: Particles, t_next, active, vmax, first):
@@ -512,7 +538,8 @@ class Simulation:
             n_active = jnp.sum(active.astype(jnp.int32))
             return p, vmax_new, n_active
 
-        return phase_force, phase_force_refresh, phase_finish
+        return (phase_force, phase_force_refresh,
+                phase_gas if sph_params is not None else None, phase_finish)
 
     def _sidm_params_for_phased(self):
         from .ops.sidm import SidmParams
@@ -551,7 +578,8 @@ class Simulation:
             self._phases = self._build_phases()
             self._tree_cache = None
             self._refresh_left = 0
-        phase_force, phase_force_refresh, phase_finish = self._phases
+        (phase_force, phase_force_refresh, phase_gas,
+         phase_finish) = self._phases
         key = step_key(self.root_key,
                        0x7FFFFFFF if first else self.step_count)
         vmax = jnp.asarray(self.vmax, self.dtype)
@@ -565,7 +593,8 @@ class Simulation:
         self._t_mark = _wallclock.perf_counter()
         if (use_fused and not first and self._refresh_left > 0
                 and self._tree_cache is not None):
-            p, t_next, active, pos_pred, tree = phase_force_refresh(
+            p, t_next, active, pos_pred, vel_pred, tree = \
+                phase_force_refresh(
                 self.particles, vmax, self._tree_cache)
             self._refresh_left -= 1
             # drift safety: rebuild early once the conservative guard
@@ -575,7 +604,7 @@ class Simulation:
             if float(tree.drift) > 0.25 * s_deep:
                 self._refresh_left = 0
         else:
-            p, t_next, active, pos_pred, tree = phase_force(
+            p, t_next, active, pos_pred, vel_pred, tree = phase_force(
                 self.particles, vmax)
             self._refresh_left = max(0, int(self.cfg.TreeRefreshSteps) - 1)
         self._tree_cache = tree if use_fused else None
@@ -600,6 +629,10 @@ class Simulation:
             else:
                 p, n_scat = out
             _mark("sidm", n_scat)
+
+        if phase_gas is not None:
+            p = phase_gas(p, t_next, active, pos_pred, vel_pred)
+            _mark("gas", p.accel)
 
         p, vmax_new, n_active = phase_finish(p, t_next, active, vmax, first)
         _mark("finish", p.max_pred_time)

@@ -51,3 +51,40 @@ def test_phased_step_runs_and_conserves():
     # with sigma/m this large on a compact Plummer sphere, scattering
     # must actually happen within a few steps
     assert n_scat > 0
+
+
+def test_phased_gas_matches_synchronized():
+    """The phased driver runs the SPH phase (density + hydro) and matches
+    the single-jit synchronized step to float noise on a mixed gas+DM
+    Plummer sphere (the reference's accel.c:71-116 gas half)."""
+    from sidm_tpu.config import SimConfig
+    from sidm_tpu.io import ics
+    from sidm_tpu.simulation import Simulation
+
+    def run(mode):
+        cfg = SimConfig(GravityConstantInternal=1.0,
+                        UnitLength_in_cm=1.0, UnitMass_in_g=1.0,
+                        UnitVelocity_in_cm_per_s=1.0,
+                        ForceMethod="tree", TypeOfTimestepCriterion=0,
+                        ErrTolIntAccuracy=0.05, CourantFac=0.15,
+                        MaxSizeTimestep=0.01, TimeBegin=0.0, TimeMax=0.03,
+                        SofteningGas=0.05, SofteningGasMaxPhys=0.05,
+                        SofteningHalo=0.05, SofteningHaloMaxPhys=0.05,
+                        DesNumNgb=16, MaxNumNgbDeviation=2,
+                        InitGasTemp=100.0)
+        n = 1024
+        pos, vel, mass = ics.plummer(n, seed=3)
+        sim = Simulation(cfg, mode=mode)
+        ptype = np.where(np.arange(n) < n // 2, 0, 1).astype(np.int32)
+        sim.set_particles_from_arrays(pos, vel, mass, ptype,
+                                      pad_to_multiple=256)
+        sim.prepare()
+        for _ in range(3):
+            sim.step()
+        return (np.asarray(sim.particles.pos),
+                np.asarray(sim.particles.egy_spec))
+
+    p1, u1 = run("synchronized")
+    p2, u2 = run("phased")
+    np.testing.assert_allclose(p1, p2, atol=5e-6)
+    np.testing.assert_allclose(u1, u2, rtol=1e-4, atol=1e-4)
