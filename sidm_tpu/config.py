@@ -161,6 +161,7 @@ class SimConfig:
     PMGrid: int = 0
     PMAsmth: float = 2.0                # split scale in mesh cells
     PMRcutFac: float = 6.0              # short-range cutoff / (asmth h)
+    PMInterlace: int = 1                # half-cell interlaced deposit+gather
 
     # --- derived (set by set_units / read_ic; not parameter-file tags) ---
     OutputListTimes: List[float] = field(default_factory=list)
@@ -187,7 +188,7 @@ _OPTIONAL_TAGS = {
     "CrossSectionPowLaw", "NoScatter", "ScatterLog", "FindNbrLog",
     "ReflectionBoundary", "NoForce", "VelDispOn",
     "ForceMethod", "Precision", "SnapFormatOut", "EwaldGridSize",
-    "TreeRefreshSteps", "PMGrid", "PMAsmth", "PMRcutFac",
+    "TreeRefreshSteps", "PMGrid", "PMAsmth", "PMRcutFac", "PMInterlace",
 }
 
 

@@ -202,7 +202,8 @@ class Simulation:
             self._pm_cache = build_pm_kernel(
                 float(self.cfg.BoxSize), n=n_mesh,
                 asmth=float(self.cfg.PMAsmth),
-                rcut_fac=float(self.cfg.PMRcutFac))
+                rcut_fac=float(self.cfg.PMRcutFac),
+                interlace=bool(self.cfg.PMInterlace))
         return self._pm_cache
 
     def _make_force_fn(self):

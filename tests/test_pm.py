@@ -73,8 +73,9 @@ def test_treepm_force_matches_ewald_oracle(cloud):
     anorm = jnp.linalg.norm(acc_ref, axis=1)
     scale = jnp.percentile(anorm, 50)
     rel = jnp.linalg.norm(acc - acc_ref, axis=1) / jnp.maximum(anorm, scale)
-    assert float(jnp.percentile(rel, 99)) < 8e-3       # mesh-64 regime
-    assert float(jnp.max(rel)) < 2e-2
+    # interlaced mesh-64: measured p99 ~1e-3 at this config
+    assert float(jnp.percentile(rel, 99)) < 2.5e-3
+    assert float(jnp.max(rel)) < 6e-3
     pscale = jnp.percentile(jnp.abs(pot_ref), 50)
     perr = jnp.abs(pot - pot_ref) / jnp.maximum(jnp.abs(pot_ref), pscale)
     assert float(jnp.percentile(perr, 99)) < 8e-3
