@@ -501,6 +501,17 @@ class Simulation:
         sph_params = self._sph_params() if self._has_gas() else None
 
         @jax.jit
+        def phase_veldisp(p: Particles, t_next, active, pos_pred,
+                          vel_pred):
+            """veldisp() (nbody/veldisp.c) — local velocity dispersion +
+            DM density for timestep criteria 2-4; runs right after the
+            force phase like compute_accelerations does."""
+            from .ops.veldisp import veldisp as veldisp_op
+            boxv = consts.box_size if consts.periodic else 0.0
+            return veldisp_op(p, pos_pred, vel_pred, active,
+                              des_num_ngb=cfg.DesNumNgb, box=boxv)
+
+        @jax.jit
         def phase_gas(p: Particles, t_next, active, pos_pred, vel_pred):
             """density(); hydro_force() — the gas half of
             compute_accelerations (accel.c:71-116) as its own phase so
@@ -540,6 +551,7 @@ class Simulation:
             return p, vmax_new, n_active
 
         return (phase_force, phase_force_refresh,
+                phase_veldisp if cfg.VelDispOn else None,
                 phase_gas if sph_params is not None else None, phase_finish)
 
     def _sidm_params_for_phased(self):
@@ -579,7 +591,7 @@ class Simulation:
             self._phases = self._build_phases()
             self._tree_cache = None
             self._refresh_left = 0
-        (phase_force, phase_force_refresh, phase_gas,
+        (phase_force, phase_force_refresh, phase_veldisp, phase_gas,
          phase_finish) = self._phases
         key = step_key(self.root_key,
                        0x7FFFFFFF if first else self.step_count)
@@ -610,6 +622,10 @@ class Simulation:
             self._refresh_left = max(0, int(self.cfg.TreeRefreshSteps) - 1)
         self._tree_cache = tree if use_fused else None
         _mark("force", p.accel)
+
+        if phase_veldisp is not None:
+            p = phase_veldisp(p, t_next, active, pos_pred, vel_pred)
+            _mark("veldisp", p.vel_disp)
 
         n_scat = 0
         events = None

@@ -88,3 +88,38 @@ def test_phased_gas_matches_synchronized():
     p2, u2 = run("phased")
     np.testing.assert_allclose(p1, p2, atol=5e-6)
     np.testing.assert_allclose(u1, u2, rtol=1e-4, atol=1e-4)
+
+
+def test_phased_veldisp_matches_synchronized():
+    """VELDISP (timestep criteria 2-4) runs as a phase in the phased
+    driver and matches the single-jit step to float noise."""
+    from sidm_tpu.config import SimConfig
+    from sidm_tpu.io import ics
+    from sidm_tpu.simulation import Simulation
+
+    def run(mode):
+        cfg = SimConfig(GravityConstantInternal=1.0,
+                        UnitLength_in_cm=1.0, UnitMass_in_g=1.0,
+                        UnitVelocity_in_cm_per_s=1.0,
+                        ForceMethod="tree", VelDispOn=1,
+                        TypeOfTimestepCriterion=2,
+                        ErrTolDynamicalAccuracy=0.02, ErrTolVelScale=10.0,
+                        MaxSizeTimestep=0.01, TimeBegin=0.0, TimeMax=0.03,
+                        SofteningHalo=0.05, SofteningHaloMaxPhys=0.05,
+                        DesNumNgb=16, MaxNumNgbDeviation=2)
+        n = 1024
+        pos, vel, mass = ics.plummer(n, seed=3)
+        sim = Simulation(cfg, mode=mode)
+        sim.set_particles_from_arrays(pos, vel, mass,
+                                      np.ones(n, np.int32),
+                                      pad_to_multiple=256)
+        sim.prepare()
+        for _ in range(3):
+            sim.step()
+        return (np.asarray(sim.particles.pos),
+                np.asarray(sim.particles.vel_disp))
+
+    p1, v1 = run("synchronized")
+    p2, v2 = run("phased")
+    np.testing.assert_allclose(p1, p2, atol=5e-6)
+    np.testing.assert_allclose(v1, v2, atol=1e-5)
