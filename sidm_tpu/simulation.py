@@ -814,6 +814,15 @@ class Simulation:
                 stop = True
             if self.cpu_this_run > 0.85 * cfg.TimeLimitCPU:
                 stop = True
+                # CPU-limit self-stop with optional resubmission
+                # (run.c:169-181): fire the user's resubmit command once
+                if cfg.ResubmitOn and cfg.ResubmitCommand not in ("", "none"):
+                    import subprocess
+                    try:
+                        subprocess.Popen(cfg.ResubmitCommand, shell=True)
+                    except OSError as e:
+                        print(f"resubmit command failed: {e}",
+                              file=_sys.stderr)
             if (self.cpu_this_run - self.time_last_restart
                     >= cfg.CpuTimeBetRestartFile):
                 self.write_restart_file()
