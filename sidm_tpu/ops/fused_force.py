@@ -590,7 +590,7 @@ def _level_pass(fids, live_w, acc, pot, n_seg_total, tbl, s_l, nl_real,
     # the sorted key plane (no drops: W itself bounds the width)
     seg_sorted = jnp.sort(segk, axis=1)
     n_seg = jnp.sum((segk != IMAX).astype(jnp.int32), axis=1)
-    n_seg_total = n_seg_total + jnp.sum(n_seg)
+    n_seg_total = n_seg_total + jnp.sum(n_seg, dtype=jnp.int32)
     if not cfg.skip_near:
         acc, pot = _near_level(
             acc, pot, seg_sorted, jnp.max(n_seg.reshape(NB, GB), axis=1),
@@ -607,7 +607,8 @@ def _expand_open(openk, ovf, *, Wn, cfg, NB, GB, ng):
     open_sorted = jnp.sort(openk, axis=1)[:, :O]
     n_open = jnp.sum((openk != IMAX).astype(jnp.int32), axis=1)
     max_open = jnp.max(n_open)
-    ovf = ovf.at[0].add(jnp.sum(jnp.maximum(n_open - O, 0)))
+    ovf = ovf.at[0].add(jnp.sum(jnp.maximum(n_open - O, 0),
+                                dtype=jnp.int32))
     oval = open_sorted != IMAX
     cs = jnp.where(oval, open_sorted >> 4, 0)
     cc = jnp.where(oval, open_sorted & 15, 0)
@@ -618,7 +619,8 @@ def _expand_open(openk, ovf, *, Wn, cfg, NB, GB, ng):
     n_child = jnp.sum((kids != IMAX).astype(jnp.int32), axis=1)
     if 8 * O > Wn:
         kids = jnp.sort(kids, axis=1)[:, :Wn]
-        ovf = ovf.at[0].add(jnp.sum(jnp.maximum(n_child - Wn, 0)))
+        ovf = ovf.at[0].add(jnp.sum(jnp.maximum(n_child - Wn, 0),
+                                    dtype=jnp.int32))
         live_c = jnp.minimum(n_child.reshape(NB, GB), Wn)
     else:
         kids = jnp.concatenate(
@@ -763,15 +765,16 @@ def _fused_eval(ftree: FusedTree, gtargets, geps, glo, ghi, oac, gvalid,
                      IMAX).reshape(ng, cfg.big_cap * cfg.big_chunks)
     bkey = jnp.sort(bkey, axis=1)
     n_bk = jnp.sum((bkey != IMAX).astype(jnp.int32), axis=1)
-    n_seg_total = n_seg_total + jnp.sum(n_bk)
+    n_seg_total = n_seg_total + jnp.sum(n_bk, dtype=jnp.int32)
     if not cfg.skip_near:
         acc, pot = _near_level(
             acc, pot, bkey, jnp.max(n_bk.reshape(NB, GB), axis=1),
             ftree.part16, xr_b, te_b, cfg, NB, GB, need_pot, pbc)
     n_big = jnp.sum((bigk != IMAX).astype(jnp.int32), axis=1)
     ovf = ovf.at[1].add(
-        jnp.sum(jnp.maximum(n_big - cfg.big_cap, 0))
-        + jnp.sum(jnp.maximum(bcnt - 16 * cfg.big_chunks, 0)))
+        jnp.sum(jnp.maximum(n_big - cfg.big_cap, 0), dtype=jnp.int32)
+        + jnp.sum(jnp.maximum(bcnt - 16 * cfg.big_chunks, 0),
+                  dtype=jnp.int32))
 
     info = dict(ovf_open=ovf[0], ovf_big=ovf[1], n_segs=n_seg_total,
                 max_open=jnp.stack(lvl_max_open) if lvl_max_open

@@ -419,8 +419,9 @@ def _range_eval(rt: RangeTree, gt, gv, gh, gdt, gty, gidx, glo, ghi, pad,
         params, cfg, NB, GB, box)
     n_big = jnp.sum((bigk != IMAX).astype(jnp.int32), axis=1)
     ovf = ovf.at[1].add(
-        jnp.sum(jnp.maximum(n_big - cfg.big_cap, 0))
-        + jnp.sum(jnp.maximum(bcnt - 16 * cfg.big_chunks, 0)))
+        jnp.sum(jnp.maximum(n_big - cfg.big_cap, 0), dtype=jnp.int32)
+        + jnp.sum(jnp.maximum(bcnt - 16 * cfg.big_chunks, 0),
+                  dtype=jnp.int32))
 
     ptot, ncnt, bestk, bestj = state
     return ptot, ncnt, bestk, bestj, ovf

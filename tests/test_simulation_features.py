@@ -137,3 +137,41 @@ def test_veldisp_and_criterion_4(tmp_path):
     inner, outer = r < np.percentile(r, 20), r > np.percentile(r, 80)
     assert rho[inner].mean() > 5 * rho[outer].mean()
     assert sim.time > 0
+
+
+def test_f64_precision_end_to_end():
+    """Precision f64 (the reference is all-double) runs the full fused
+    SIDM step in float64 without dtype-promotion hazards."""
+    import warnings
+
+    import jax
+
+    from sidm_tpu.config import SimConfig
+    from sidm_tpu.io import ics
+    from sidm_tpu.simulation import Simulation
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        cfg = SimConfig(GravityConstantInternal=1.0, Precision="f64",
+                        UnitLength_in_cm=1.0, UnitMass_in_g=1.0,
+                        UnitVelocity_in_cm_per_s=1.0,
+                        ForceMethod="tree", TypeOfTimestepCriterion=0,
+                        ErrTolIntAccuracy=0.05,
+                        MaxSizeTimestep=0.01, TimeBegin=0.0, TimeMax=0.02,
+                        SofteningHalo=0.05, SofteningHaloMaxPhys=0.05,
+                        SIDMOn=1, CrossSection=2.0, DesNumNgb=16,
+                        MaxNumNgbDeviation=2, ProbabilityTol=0.2)
+        n = 512
+        pos, vel, mass = ics.plummer(n, seed=3)
+        sim = Simulation(cfg, mode="synchronized")
+        sim.set_particles_from_arrays(pos, vel, mass,
+                                      np.ones(n, np.int32),
+                                      pad_to_multiple=256)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", FutureWarning)
+            sim.prepare()
+            sim.step()
+        assert sim.particles.pos.dtype == jnp.float64
+        assert bool(np.isfinite(np.asarray(sim.particles.pos)).all())
+    finally:
+        jax.config.update("jax_enable_x64", False)
