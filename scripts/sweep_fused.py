@@ -63,6 +63,8 @@ def main():
         "leaf_cap=31": base._replace(leaf_cap=31),
         "sc=32": base._replace(sc=32),
         "leaf31+sc32": base._replace(leaf_cap=31, sc=32),
+        "sortcompact=True (old sorts)": base._replace(
+            sort_compact=True),
         "wc=256": base._replace(wc=256),
         "w_max=4096": base._replace(w_max=4096),
         "G=128": base._replace(group_size=128),
@@ -78,7 +80,7 @@ def main():
         keys = [k for k in keys
                 if any(k.startswith(p) for p in sel.split(","))]
     else:
-        keys = keys[:5]
+        keys = keys[:6]
     for k in keys:
         bench(k, variants[k])
 

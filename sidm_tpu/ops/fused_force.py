@@ -95,6 +95,9 @@ class FusedConfig(NamedTuple):
                                # (sc and wc must divide every frontier width
                                #  the schedule emits: powers of two <= wc)
     theta_scale: bool = True   # widen caps for small theta
+    sort_compact: bool = False  # True: compact key planes with minor-
+                               # axis sorts (the pre-compaction-network
+                               # behavior) instead of compact_plane
     break_level: int = 4       # restart groups at this level's cell bounds
     # profiling/debug knobs (results are WRONG when a stage is skipped)
     skip_far: bool = False
@@ -119,6 +122,44 @@ _CSTART = 6
 _CCNT = 7
 _QUAD = slice(8, 14)
 _EPS = 14
+
+
+def compact_plane(keys, live=None):
+    """Stable left-compaction of the non-IMAX entries of each row.
+
+    Replaces ``jnp.sort(keys, axis=1)`` where only COMPACTION is needed
+    (the engine's key planes are emitted in frontier order, which is
+    already ascending node order): a minor-axis sort is a bitonic
+    network of O(log^2 W) full-plane passes, while compaction needs only
+    the classic prefix-sum shift network — one cumsum plus log2(W)
+    masked-shift passes (LSB-first binary decomposition of each
+    element's left-shift distance). Collision-free because compaction
+    destinations are strictly monotone over live elements: a resident
+    that still has to move owns a remaining shift >= 2^(k+1), which
+    would exceed the incoming element's 2^k and violate monotonicity.
+
+    Returns the compacted plane (tail filled with IMAX).
+    """
+    ng, W = keys.shape
+    if live is None:
+        live = keys != IMAX
+    x = jnp.where(live, keys, IMAX)
+    # left-shift distance = dead entries strictly before i (= inclusive
+    # dead-count at i for live i); parked at 0 for dead entries
+    s = jnp.where(live, jnp.cumsum((~live).astype(jnp.int32), axis=1), 0)
+    k = 0
+    while (1 << k) < W:
+        bit = 1 << k
+        pad = jnp.full((ng, bit), IMAX, x.dtype)
+        x_r = jnp.concatenate([x[:, bit:], pad], axis=1)
+        s_r = jnp.concatenate([s[:, bit:], jnp.zeros((ng, bit),
+                                                     s.dtype)], axis=1)
+        inc = (x_r != IMAX) & ((s_r & bit) != 0)
+        out = (x != IMAX) & ((s & bit) != 0)
+        x = jnp.where(inc, x_r, jnp.where(out, IMAX, x))
+        s = jnp.where(inc, s_r - bit, jnp.where(out, 0, s))
+        k += 1
+    return x
 
 
 def pack_tree(tree: Octree) -> FusedTree:
@@ -587,8 +628,11 @@ def _level_pass(fids, live_w, acc, pot, n_seg_total, tbl, s_l, nl_real,
     openk = openk.reshape(ng, W)
 
     # near field of this level's leaf segments, evaluated immediately from
-    # the sorted key plane (no drops: W itself bounds the width)
-    seg_sorted = jnp.sort(segk, axis=1)
+    # the compacted key plane (no drops: W itself bounds the width;
+    # frontier order is ascending node order, so compaction preserves
+    # the gather locality a sort would give)
+    seg_sorted = (jnp.sort(segk, axis=1) if cfg.sort_compact
+                  else compact_plane(segk))
     n_seg = jnp.sum((segk != IMAX).astype(jnp.int32), axis=1)
     n_seg_total = n_seg_total + jnp.sum(n_seg, dtype=jnp.int32)
     if not cfg.skip_near:
@@ -604,7 +648,8 @@ def _expand_open(openk, ovf, *, Wn, cfg, NB, GB, ng):
     frontier be ~2.5x narrower than the naive 8*opens bound."""
     W = openk.shape[1]
     O = min(W, cfg.open_cap)
-    open_sorted = jnp.sort(openk, axis=1)[:, :O]
+    open_sorted = (jnp.sort(openk, axis=1) if cfg.sort_compact
+                   else compact_plane(openk))[:, :O]
     n_open = jnp.sum((openk != IMAX).astype(jnp.int32), axis=1)
     max_open = jnp.max(n_open)
     ovf = ovf.at[0].add(jnp.sum(jnp.maximum(n_open - O, 0),
@@ -618,7 +663,8 @@ def _expand_open(openk, ovf, *, Wn, cfg, NB, GB, ng):
                      IMAX).reshape(ng, 8 * O)
     n_child = jnp.sum((kids != IMAX).astype(jnp.int32), axis=1)
     if 8 * O > Wn:
-        kids = jnp.sort(kids, axis=1)[:, :Wn]
+        kids = (jnp.sort(kids, axis=1) if cfg.sort_compact
+                else compact_plane(kids))[:, :Wn]
         ovf = ovf.at[0].add(jnp.sum(jnp.maximum(n_child - Wn, 0),
                                     dtype=jnp.int32))
         live_c = jnp.minimum(n_child.reshape(NB, GB), Wn)
@@ -752,8 +798,8 @@ def _fused_eval(ftree: FusedTree, gtargets, geps, glo, ghi, oac, gvalid,
         tr_tbl=ftree.levels_tr[depth], **common)
 
     # overfull deepest cells -> 16-particle chunks, same near pass
-    border = jnp.argsort(bigk, axis=1)
-    bid = jnp.take_along_axis(bigk, border[:, :cfg.big_cap], axis=1)
+    bid = (jnp.sort(bigk, axis=1) if cfg.sort_compact
+           else compact_plane(bigk))[:, :cfg.big_cap]
     bval = bid != IMAX
     brow = tbl[jnp.clip(bid, 0, tbl.shape[0] - 1)]
     bstart = brow[..., _NSTART].astype(jnp.int32)
@@ -763,7 +809,8 @@ def _fused_eval(ftree: FusedTree, gtargets, geps, glo, ghi, oac, gvalid,
     ccn = jnp.clip(bcnt[:, :, None] - k16[None, None, :], 0, 16)
     bkey = jnp.where(ccn > 0, cst * 32 + ccn,
                      IMAX).reshape(ng, cfg.big_cap * cfg.big_chunks)
-    bkey = jnp.sort(bkey, axis=1)
+    bkey = (jnp.sort(bkey, axis=1) if cfg.sort_compact
+            else compact_plane(bkey))
     n_bk = jnp.sum((bkey != IMAX).astype(jnp.int32), axis=1)
     n_seg_total = n_seg_total + jnp.sum(n_bk, dtype=jnp.int32)
     if not cfg.skip_near:

@@ -34,7 +34,7 @@ from jax import lax
 from ..kernels import sph_kernel
 from ..sidm_common import sigma_v_product
 from .fused_force import (IMAX, FusedConfig, _expand_open, _w_schedule,
-                          make_windows)
+                          compact_plane, make_windows)
 from .sidm import SidmParams
 from .sidm_tree import _pair_gumbel
 from .tree import Octree, level_offsets
@@ -354,7 +354,8 @@ def _range_eval(rt: RangeTree, gt, gv, gh, gdt, gty, gidx, glo, ghi, pad,
             fids, live_w, tbl, s_l, nl_real, glo_b, ghi_b, pad_b,
             W=W, WC=min(cfg.wc, W), last=last, cfg=cfg, NB=NB, GB=GB,
             ng=ng, box=box)
-        seg_sorted = jnp.sort(segk, axis=1)
+        seg_sorted = (jnp.sort(segk, axis=1) if cfg.sort_compact
+                      else compact_plane(segk))
         n_seg = jnp.sum((segk != IMAX).astype(jnp.int32), axis=1)
         state = _sidm_near_level(
             state, seg_sorted, jnp.max(n_seg.reshape(NB, GB), axis=1),
@@ -400,8 +401,8 @@ def _range_eval(rt: RangeTree, gt, gv, gh, gdt, gty, gidx, glo, ghi, pad,
         state, fids, live_w, ovf, tbl, extent / (1 << depth),
         rt.n_levels[depth], W, True, W)
 
-    border = jnp.argsort(bigk, axis=1)
-    bid = jnp.take_along_axis(bigk, border[:, :cfg.big_cap], axis=1)
+    bid = (jnp.sort(bigk, axis=1) if cfg.sort_compact
+           else compact_plane(bigk))[:, :cfg.big_cap]
     bval = bid != IMAX
     brow = tbl[jnp.clip(bid, 0, tbl.shape[0] - 1)]
     bstart = brow[..., _NSTART].astype(jnp.int32)
@@ -411,7 +412,8 @@ def _range_eval(rt: RangeTree, gt, gv, gh, gdt, gty, gidx, glo, ghi, pad,
     ccn = jnp.clip(bcnt[:, :, None] - k16[None, None, :], 0, 16)
     bkey = jnp.where(ccn > 0, cst * 32 + ccn,
                      IMAX).reshape(ng, cfg.big_cap * cfg.big_chunks)
-    bkey = jnp.sort(bkey, axis=1)
+    bkey = (jnp.sort(bkey, axis=1) if cfg.sort_compact
+            else compact_plane(bkey))
     n_bk = jnp.sum((bkey != IMAX).astype(jnp.int32), axis=1)
     state = _sidm_near_level(
         state, bkey, jnp.max(n_bk.reshape(NB, GB), axis=1),
