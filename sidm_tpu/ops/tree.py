@@ -392,7 +392,8 @@ def build_octree(pos, mass, eps, valid, *, box=0.0, depth: int = 10,
     )
 
 
-def refresh_octree(tree: Octree, pos, mass, eps, valid) -> Octree:
+def refresh_octree(tree: Octree, pos, mass, eps, valid,
+                   box: float = 0.0) -> Octree:
     """Moments-only tree refresh on a FROZEN topology: the Morton
     permutation, segment structure, child links, particle ranges and
     geometric centers are reused; center of mass, mass, quadrupole and
@@ -423,6 +424,15 @@ def refresh_octree(tree: Octree, pos, mass, eps, valid) -> Octree:
     eps_s = eps[perm]
 
     d = pos_s - tree.pos_s
+    if box:
+        # periodic: displacements are minimum-image (a box_wrap between
+        # refreshes jumps raw coordinates by +-box), and the refreshed
+        # positions STAY IN THE BUILD'S WRAP IMAGE so frozen nodes remain
+        # spatially compact (com/quad would be garbage for a node whose
+        # member wrapped; per-pair minimum image in the walk handles the
+        # image choice)
+        d = d - box * jnp.round(d / box)
+        pos_s = tree.pos_s + d
     step_move = jnp.sqrt(jnp.max(jnp.where(
         valid_s, jnp.sum(d * d, axis=1), 0.0)))
     drift = tree.drift + step_move

@@ -452,7 +452,7 @@ class Simulation:
                                         uniform_eps=uniform_eps)
                 else:
                     tree = refresh_octree(tree_in, pos_pred, mass, eps,
-                                          p.valid)
+                                          p.valid, box=boxv or 0.0)
                 raw_acc, pot = fused_gravity_tree(
                     tree, mass, eps, p.old_acc,
                     theta=cfg.ErrTolTheta,
@@ -602,7 +602,8 @@ class Simulation:
         # Morton topology for K-1 forces, recomputing exact moments and
         # letting the walk inflate its guards by the accumulated drift
         use_fused = (self.cfg.ForceMethod == "tree"
-                     and not self.cfg.PeriodicBoundariesOn)
+                     and (not self.cfg.PeriodicBoundariesOn
+                          or self._use_treepm()))
         self._t_mark = _wallclock.perf_counter()
         if (use_fused and not first and self._refresh_left > 0
                 and self._tree_cache is not None):

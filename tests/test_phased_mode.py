@@ -123,3 +123,43 @@ def test_phased_veldisp_matches_synchronized():
     p2, v2 = run("phased")
     np.testing.assert_allclose(p1, p2, atol=5e-6)
     np.testing.assert_allclose(v1, v2, atol=1e-5)
+
+
+def test_phased_periodic_treepm_runs():
+    """Phased periodic run: TreePM force + lazy refreshed box tree +
+    min-image fused SIDM walk compose; momentum conserved, state finite."""
+    from sidm_tpu.config import SimConfig
+    from sidm_tpu.simulation import Simulation
+
+    box = 50.0
+    n = 2048
+    rng = np.random.default_rng(11)
+    pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
+    pos[:n // 2] = (25.0 + rng.standard_normal((n // 2, 3)) * 3.0) % box
+    vel = rng.normal(0, 0.05, (n, 3)).astype(np.float32)
+    cfg = SimConfig(GravityConstantInternal=1.0,
+                    UnitLength_in_cm=1.0, UnitMass_in_g=1.0,
+                    UnitVelocity_in_cm_per_s=1.0,
+                    ForceMethod="tree", TypeOfTimestepCriterion=0,
+                    ErrTolIntAccuracy=0.05,
+                    PeriodicBoundariesOn=1, BoxSize=box, PMGrid=32,
+                    MaxSizeTimestep=0.05, TimeBegin=0.0, TimeMax=0.2,
+                    SofteningHalo=0.1, SofteningHaloMaxPhys=0.1,
+                    SIDMOn=1, CrossSection=10.0, DesNumNgb=16,
+                    MaxNumNgbDeviation=2, ProbabilityTol=0.2,
+                    TreeRefreshSteps=3)
+    sim = Simulation(cfg, mode="phased")
+    sim.set_particles_from_arrays(pos, vel, np.full(n, 1.0 / n),
+                                  np.ones(n, np.int32),
+                                  pad_to_multiple=256)
+    sim.prepare()
+    mom0 = np.sum(np.asarray(sim.particles.vel)
+                  * np.asarray(sim.particles.mass)[:, None], axis=0)
+    for _ in range(4):
+        sim.step()
+    p = sim.particles
+    assert bool(np.isfinite(np.asarray(p.pos)).all())
+    assert bool(np.isfinite(np.asarray(p.vel)).all())
+    mom1 = np.sum(np.asarray(p.vel) * np.asarray(p.mass)[:, None], axis=0)
+    # SIDM kicks are pairwise momentum-exact; gravity kicks sum to ~0
+    np.testing.assert_allclose(mom1, mom0, atol=5e-4)

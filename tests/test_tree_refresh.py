@@ -166,3 +166,35 @@ def test_block_range_sum_exact():
     # empty queries give zero
     z = range_sum(bp, jnp.asarray([5, 100]), jnp.asarray([5, 80]))
     assert float(jnp.max(jnp.abs(z))) == 0.0
+
+
+def test_periodic_refresh_wrap_invariance():
+    """Refreshing a box tree with positions shifted by WHOLE box periods
+    (what box_wrap does between refreshes) is a no-op: the minimum-image
+    displacement is zero, so drift stays 0 and the refreshed positions
+    stay in the build's wrap image (moments unchanged)."""
+    import jax.numpy as jnp
+
+    from sidm_tpu.ops.tree import build_octree, refresh_octree
+
+    box = 50.0
+    n = 4096
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray((rng.standard_normal((n, 3)) * 5.0) % box,
+                      jnp.float32)
+    mass = jnp.ones(n, jnp.float32)
+    eps = jnp.full(n, 0.1, jnp.float32)
+    valid = jnp.ones(n, bool)
+    tree = build_octree(pos, mass, eps, valid, box=box, depth=8)
+
+    # shift a random subset by +-box per component (a wrap event)
+    shift = jnp.asarray(
+        box * rng.integers(-1, 2, (n, 3)).astype(np.float32))
+    tr = refresh_octree(tree, pos + shift, mass, eps, valid, box=box)
+    # not exactly zero: (pos+box)-pos carries ~box*eps_f32 rounding
+    assert float(tr.drift) <= 4.0 * box * np.finfo(np.float32).eps
+    np.testing.assert_allclose(np.asarray(tr.mac_rows),
+                               np.asarray(tree.mac_rows), rtol=1e-3,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(tr.pos_s),
+                               np.asarray(tree.pos_s), atol=1e-4)
