@@ -896,21 +896,30 @@ def make_windows(keys_s, valid_s, n: int, G: int, depth: int,
     ngp = -(-NGC0 // GB) * GB
     NB = ngp // GB
 
-    gstart = jax.ops.segment_min(idx, gid, num_segments=ngp,
-                                 indices_are_sorted=True)
-    gcount = jax.ops.segment_sum(jnp.ones(n, jnp.int32), gid,
-                                 num_segments=ngp, indices_are_sorted=True)
-    gstart = jnp.where(gcount > 0, gstart, 0)
+    # group ids are CONSECUTIVE (cumsum of boundary flags), so starts come
+    # from one unique-index scatter of the boundary positions and counts
+    # from next-start differences — segment_min/segment_sum lower to
+    # scatter-adds that run ~60x off bandwidth on TPU (see ops/tree.py)
+    start_buf = jnp.full(ngp + 1, n, jnp.int32).at[
+        jnp.where(newgroup, gid, ngp)].set(idx)
+    gstart0 = start_buf[:ngp]                     # n for padding groups
+    nxt = jnp.concatenate([gstart0[1:], jnp.full(1, n, jnp.int32)])
+    gcount = jnp.maximum(jnp.minimum(nxt, n) - gstart0, 0)
+    gstart = jnp.where(gcount > 0, gstart0, 0)
     if sort_groups:
         # order groups by the particle count of their break cell (a local
         # density proxy): per-block live frontier bounds are max-over-
         # block, so cost-homogeneous blocks avoid dragging cheap groups
         # through an expensive neighbour's width
-        run_id = jnp.cumsum(newcell.astype(jnp.int32)) - 1
-        run_len = jax.ops.segment_sum(
-            jnp.ones(n, jnp.int32), run_id,
-            num_segments=min(8 ** L, n) + 1)[run_id]
-        proxy = jnp.where(gcount > 0, run_len[gstart], -1)
+        run_id_s = jnp.cumsum(newcell.astype(jnp.int32)) - 1
+        ncell_cap = min(8 ** L, n) + 1
+        rstart_buf = jnp.full(ncell_cap + 1, n, jnp.int32).at[
+            jnp.where(newcell, run_id_s, ncell_cap)].set(idx)
+        rstart = rstart_buf[:ncell_cap]
+        rnxt = jnp.concatenate([rstart[1:], jnp.full(1, n, jnp.int32)])
+        run_len = jnp.maximum(jnp.minimum(rnxt, n) - rstart, 0)
+        rid_of_group = run_id_s[jnp.minimum(gstart0, n - 1)]
+        proxy = jnp.where(gcount > 0, run_len[rid_of_group], -1)
         order = jnp.argsort(-proxy)
         gstart = gstart[order]
         gcount = gcount[order]
