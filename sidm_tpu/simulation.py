@@ -424,13 +424,21 @@ class Simulation:
                 pbc = (float(boxv), pm_kern.alpha, pm_kern.rcut)
 
         # static promise for the tree build: one softening value across
-        # all types present (single-species DM runs) — node eps_max then
-        # broadcasts instead of paying a per-level segment_max
+        # all types present — node eps_max then broadcasts instead of
+        # paying a per-level segment_max. Comoving runs stay uniform over
+        # TIME as long as the (Softening, MaxPhys) pairs of the present
+        # types coincide (the common single-species DM case): the table
+        # value changes with the scale factor but never differs across
+        # particles at one instant.
         present = (set(np.unique(np.asarray(self.particles.ptype)).tolist())
                    if self.particles is not None else set(range(6)))
-        soft_now = softening_table(cfg, self.time)
-        uniform_eps = (not cfg.ComovingIntegrationOn
-                       and len({float(soft_now[t]) for t in present}) == 1)
+        com = [cfg.SofteningGas, cfg.SofteningHalo, cfg.SofteningDisk,
+               cfg.SofteningBulge, cfg.SofteningStars, 0.0]
+        phys = [cfg.SofteningGasMaxPhys, cfg.SofteningHaloMaxPhys,
+                cfg.SofteningDiskMaxPhys, cfg.SofteningBulgeMaxPhys,
+                cfg.SofteningStarsMaxPhys, 0.0]
+        uniform_eps = len({(float(com[t]), float(phys[t]))
+                           for t in present}) == 1
 
         def _force_core(p: Particles, vmax, tree_in):
             """Shared body of the force phase. tree_in None = fresh
