@@ -179,6 +179,41 @@ def range_sum(bp, a, b):
     return jnp.where(nonempty[:, None], s, 0.0)
 
 
+def sparse_max_table(vals):
+    """Sparse table for O(1) range-MAX queries over a 1-D array.
+
+    Returns (tab (L, N), n) with tab[j, i] = max(vals[i : i + 2^j])
+    (clamped at the end). Build is log2(N) shift-max passes; queries are
+    EXACT because max is idempotent: max over [a, b) = max(tab[j, a],
+    tab[j, b - 2^j]) with j = floor(log2(b - a)) — overlapping windows
+    are harmless. The scatter-free analog of segment_max for sorted
+    segments (range_sum's differencing trick does not exist for max)."""
+    n = vals.shape[0]
+    rows = [vals]
+    j = 0
+    while (1 << (j + 1)) <= n:
+        half = 1 << j
+        prev = rows[-1]
+        shifted = jnp.concatenate([prev[half:], prev[-1:].repeat(half)])
+        rows.append(jnp.maximum(prev, shifted))
+        j += 1
+    return jnp.stack(rows), n
+
+
+def range_max(tab_n, a, b):
+    """Per-query max of vals[a:b] from sparse_max_table; b <= a yields
+    the value at a (callers mask empty queries)."""
+    tab, n = tab_n
+    length = jnp.maximum(b - a, 1)
+    # floor(log2(length)) via float exponent bits (exact for int < 2^24)
+    j = jnp.clip((jnp.frexp(length.astype(jnp.float32))[1] - 1), 0,
+                 tab.shape[0] - 1)
+    ac = jnp.clip(a, 0, n - 1)
+    b2 = jnp.clip(b - (1 << j.astype(jnp.int32)), 0, n - 1)
+    flat = tab.reshape(-1)
+    return jnp.maximum(flat[j * n + ac], flat[j * n + b2])
+
+
 def level_offsets(n: int, depth: int) -> List[int]:
     caps = _level_caps(n, depth)
     offs = [0]
@@ -246,6 +281,8 @@ def build_octree(pos, mass, eps, valid, *, box=0.0, depth: int = 10,
         valid_s.astype(dtype)], axis=1)                      # (N, 11)
 
     bp = block_prefix(prods)
+    if not uniform_eps and "emax" not in _skip:
+        eps_tab = sparse_max_table(jnp.where(valid_s, eps_s, 0.0))
 
     # ALL levels' boundary indicators, then ONE fused (N, L+1) cumsum for
     # every level's segment ids (14 separate 1M cumsums cost ~20x one
@@ -332,9 +369,9 @@ def build_octree(pos, mass, eps, valid, *, box=0.0, depth: int = 10,
             emax = jnp.where(cnt > 0,
                              jnp.max(jnp.where(valid_s, eps_s, 0.0)), 0.0)
         else:
-            emax = jax.ops.segment_max(
-                jnp.where(valid_s, eps_s, 0.0), segc,
-                num_segments=cap, indices_are_sorted=True)
+            # scatter-free range max over the sorted node ranges
+            emax = jnp.where(cnt > 0,
+                             range_max(eps_tab, start, ends), 0.0)
         s_l = extent / (1 << l)
         if l <= d_hi:
             ix, iy, iz = cell_of_prefix(npref, l, d_hi)

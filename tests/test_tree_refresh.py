@@ -198,3 +198,46 @@ def test_periodic_refresh_wrap_invariance():
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(tr.pos_s),
                                np.asarray(tree.pos_s), atol=1e-4)
+
+
+def test_sparse_range_max_exact():
+    """sparse_max_table/range_max equals brute-force range maxima (exact:
+    max is idempotent, overlapping power-of-two windows lose nothing)."""
+    from sidm_tpu.ops.tree import range_max, sparse_max_table
+
+    rng = np.random.default_rng(1)
+    for _ in range(8):
+        n = int(rng.integers(5, 3000))
+        vals = rng.random(n).astype(np.float32)
+        tab = sparse_max_table(jnp.asarray(vals))
+        q = 100
+        a = rng.integers(0, n, q)
+        b = np.minimum(a + rng.integers(1, n, q), n)
+        got = np.asarray(range_max(tab, jnp.asarray(a, jnp.int32),
+                                   jnp.asarray(b, jnp.int32)))
+        want = np.array([vals[x:y].max() for x, y in zip(a, b)],
+                        np.float32)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_build_emax_multi_softening():
+    """Non-uniform softening builds: node eps_max from the scatter-free
+    range-max table equals brute-force maxima over the node ranges."""
+    from sidm_tpu.ops.tree import build_octree
+
+    rng = np.random.default_rng(2)
+    n = 4096
+    pos = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    eps = jnp.asarray(rng.uniform(0.05, 0.3, n).astype(np.float32))
+    valid = jnp.asarray(rng.random(n) < 0.95)
+    mass = jnp.where(valid, 1.0, 0.0).astype(jnp.float32)
+    tree = build_octree(pos, mass, eps, valid, box=0.0, depth=7)
+    perm = np.asarray(tree.perm)
+    eps_s = np.where(np.asarray(valid)[perm], np.asarray(eps)[perm], 0.0)
+    ns = np.asarray(tree.node_start)
+    nc = np.asarray(tree.node_count)
+    got = np.asarray(tree.quad_rows[:, 6])
+    live = nc > 0
+    want = np.array([eps_s[s:s + c].max() if c else 0.0
+                     for s, c in zip(ns, nc)], np.float32)
+    np.testing.assert_allclose(got[live], want[live], atol=1e-7)
