@@ -12,6 +12,7 @@ run fused     2400 python scripts/profile_fused.py 1048576 2
 run bench     3600 python bench.py
 run treepm    2400 python scripts/profile_treepm.py 1048576 256
 run gatherprobe 1200 python scripts/pallas_gather_probe.py
+run wq        3600 python scripts/profile_wq.py 1048576 2
 run sweep 5400 python scripts/sweep_fused.py 1048576
 run trace 2400 python scripts/trace_fused.py 1048576
 echo "CAMPAIGN DONE $(date)" >> /tmp/campaign/status.log

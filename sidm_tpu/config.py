@@ -162,6 +162,10 @@ class SimConfig:
     PMAsmth: float = 2.0                # split scale in mesh cells
     PMRcutFac: float = 6.0              # short-range cutoff / (asmth h)
     PMInterlace: int = 1                # half-cell interlaced deposit+gather
+    # Tree-walk execution schedule: "fused" = per-block frontier loops
+    # (ops/fused_force.py), "wq" = flattened work-queue items
+    # (ops/wq_force.py). Identical physics/pair sets; perf knob only.
+    TreeWalkEngine: str = "fused"
 
     # --- derived (set by set_units / read_ic; not parameter-file tags) ---
     OutputListTimes: List[float] = field(default_factory=list)
@@ -189,6 +193,7 @@ _OPTIONAL_TAGS = {
     "ReflectionBoundary", "NoForce", "VelDispOn",
     "ForceMethod", "Precision", "SnapFormatOut", "EwaldGridSize",
     "TreeRefreshSteps", "PMGrid", "PMAsmth", "PMRcutFac", "PMInterlace",
+    "TreeWalkEngine",
 }
 
 

@@ -103,6 +103,14 @@ class FusedConfig(NamedTuple):
     skip_far: bool = False
     skip_near: bool = False
     precision: str = "highest"  # "highest" | "high" | "default" for einsums
+    # work-queue engine (ops/wq_force.py) static item caps per level
+    wq_cap: int = 131072       # (group, WC-chunk) walk items
+    wq_near_cap: int = 131072  # (group, SC-chunk) near items
+    wq_block: int = 8192       # walk items per eval super-block (bounds
+                               # the (B, G, WC) intermediates to ~256 MB)
+    wq_near_block: int = 4096  # near items per super-block ((B, G, 512))
+    wq_pallas: bool = False    # classify+far as the Pallas item kernel
+                               # (ops/pallas_far.py); non-periodic only
 
 
 class FusedTree(NamedTuple):

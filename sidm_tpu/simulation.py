@@ -220,7 +220,10 @@ class Simulation:
                                       eps, box=box, ewald=ewald)
         elif self.cfg.ForceMethod == "tree" and box is None:
             # fused frontier engine: the fast non-periodic tree path
-            from .ops.fused_force import fused_gravity
+            if self.cfg.TreeWalkEngine == "wq":
+                from .ops.wq_force import wq_gravity as fused_gravity
+            else:
+                from .ops.fused_force import fused_gravity
 
             def force(pos_pred, p, soft_tab, need_pot=False):
                 # the step only consumes acc; potential is recomputed at
@@ -237,7 +240,10 @@ class Simulation:
         elif self._use_treepm():
             # TreePM: screened short range in the fused walk + k-space
             # mesh (replaces per-interaction Ewald lookups; ops/pm.py)
-            from .ops.fused_force import fused_gravity
+            if self.cfg.TreeWalkEngine == "wq":
+                from .ops.wq_force import wq_gravity as fused_gravity
+            else:
+                from .ops.fused_force import fused_gravity
             from .ops.pm import pm_accel
             kern = self._pm_kernel()
             pbc = (float(box), kern.alpha, kern.rcut)
@@ -414,6 +420,9 @@ class Simulation:
         if use_fused:
             from .ops.fused_force import (FusedConfig, default_depth,
                                           fused_gravity_tree)
+            if cfg.TreeWalkEngine == "wq":
+                from .ops.wq_force import wq_gravity_tree \
+                    as fused_gravity_tree
             # default blocking (group_block=32): measured 9.3 s/force vs
             # 21.4 s at group_block=256 on NFW 1e6 (per-block live-width
             # bounds need small cost-homogeneous blocks)
@@ -642,7 +651,11 @@ class Simulation:
             params = self._sidm_params_for_phased()
             box = self.cfg.BoxSize if self.cfg.PeriodicBoundariesOn else 0.0
             if self.cfg.ForceMethod == "tree":
-                from .ops.fused_range import sidm_scatter_fused
+                if self.cfg.TreeWalkEngine == "wq":
+                    from .ops.wq_range import sidm_scatter_wq \
+                        as sidm_scatter_fused
+                else:
+                    from .ops.fused_range import sidm_scatter_fused
                 out = sidm_scatter_fused(p, pos_pred, tree, t_next, active,
                                          vmax, key, params,
                                          salt=self.step_count, box=box)
