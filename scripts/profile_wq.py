@@ -89,6 +89,19 @@ def main():
     print(f"  wq vs fused acc p99 rel diff {np.quantile(err, 0.99):.2e}",
           flush=True)
 
+    try:
+        out_p, t_pl = timeit("WQ+PALLAS full (need_pot=False)",
+                             run(wf, base._replace(wq_pallas=True)),
+                             tree, mass, eps, old_acc)
+        a_p = np.asarray(out_p[0])
+        errp = (np.linalg.norm(a_p - a_f, axis=1)
+                / np.maximum(np.linalg.norm(a_f, axis=1), 1e-12))
+        print(f"  pallas vs fused acc p99 rel diff "
+              f"{np.quantile(errp, 0.99):.2e}", flush=True)
+    except Exception as e:
+        print(f"WQ+PALLAS FAILED: {type(e).__name__}: {str(e)[:300]}",
+              flush=True)
+
     _, t_nf = timeit("wq skip_far  (walk + near)",
                      run(wf, base._replace(skip_far=True)),
                      tree, mass, eps, old_acc)

@@ -117,25 +117,53 @@ def _level_pass_wq(fids, n_live, acc, pot, n_seg_total, tbl, s_l, nl_real,
                   and not cfg.skip_far and dtype == jnp.float32)
     if use_pallas:
         from .pallas_far import far_items, pack_rows_t
-        live_i = items != IMAX
-        it = jnp.where(live_i, items, 0)
-        g_of = jnp.where(live_i, it // maxc, ng).astype(jnp.int32)
-        ids = fids_c[it]
-        dead = (~live_i[:, None]) | (ids < 0) | (ids >= nl_real)
-        rows = tbl[jnp.clip(ids, 0, tbl.shape[0] - 1)]
-        rows_t = pack_rows_t(rows, ids, dead)
         tgt, scal = tgt_scal
-        acc_out, keys = far_items(
-            g_of, jnp.asarray(s_l, dtype), rows_t, tgt, scal, G=G, WC=WC,
-            theta2=float(theta2), use_relative=use_relative,
-            leaf_cap=cfg.leaf_cap, last=last, need_pot=need_pot,
-            interpret=jax.default_backend() != "tpu")
-        visited = nc > 0
-        acc = acc + jnp.where(visited[:, None, None],
-                              acc_out[:ng, :, 0:3], 0.0)
+        interp = jax.default_backend() != "tpu"
+        SB = min(cfg.wq_block, items.shape[0])
+        if items.shape[0] % SB:
+            items = jnp.concatenate(
+                [items,
+                 jnp.full(SB - items.shape[0] % SB, IMAX, jnp.int32)])
+        nsb = items.shape[0] // SB
+
+        def live_blk(args):
+            accg, items_b, blk = args
+            live_i = items_b != IMAX
+            it = jnp.where(live_i, items_b, 0)
+            g_of = jnp.where(live_i, it // maxc, ng).astype(jnp.int32)
+            ids = fids_c[it]
+            dead = (~live_i[:, None]) | (ids < 0) | (ids >= nl_real)
+            rows = tbl[jnp.clip(ids, 0, tbl.shape[0] - 1)]
+            rows_t = pack_rows_t(rows, ids, dead)
+            acc_out, keys = far_items(
+                g_of, jnp.asarray(s_l, dtype), rows_t, tgt, scal, G=G,
+                WC=WC, theta2=float(theta2), use_relative=use_relative,
+                leaf_cap=cfg.leaf_cap, last=last, need_pot=need_pot,
+                interpret=interp)
+            # only groups whose item run intersects this block were
+            # visited; everything else in acc_out is garbage
+            b0 = blk * SB
+            vis = (nc > 0) & (pos < b0 + SB) & (pos + nc > b0)
+            accg = accg + jnp.where(vis[:, None, None],
+                                    acc_out[:ng, :, 0:4], 0.0)
+            return accg, keys
+
+        def dead_blk(args):
+            accg, items_b, blk = args
+            return accg, jnp.full((SB, 4, WC), IMAX, jnp.int32)
+
+        def scan_blk(accg, xs):
+            items_b, blk = xs
+            return lax.cond(blk * SB < n_items, live_blk, dead_blk,
+                            (accg, items_b, blk))
+
+        accg, keys = lax.scan(
+            scan_blk, jnp.zeros((ng, G, 4), dtype),
+            (items.reshape(nsb, SB), jnp.arange(nsb, dtype=jnp.int32)))
+        acc = acc + accg[:, :, 0:3]
         if need_pot:
-            pot = pot + jnp.where(visited[:, None], acc_out[:ng, :, 3],
-                                  0.0)
+            pot = pot + accg[:, :, 3]
+        keys = keys.reshape(nsb * SB, 4, WC)
         sk = keys[:, 0, :]
         okk = keys[:, 1, :]
         bk = keys[:, 2, :]
@@ -148,7 +176,7 @@ def _level_pass_wq(fids, n_live, acc, pot, n_seg_total, tbl, s_l, nl_real,
         return _finish_level(acc, pot, n_seg_total, ovf_items, segk,
                              openk, bigk, part16, xr, te, cap_n=cap_n,
                              cfg=cfg, need_pot=need_pot, ng=ng, G=G,
-                             dtype=dtype, pbc=pbc)
+                             dtype=dtype, pbc=pbc, tgt_scal=tgt_scal)
 
     # eval in item SUPER-BLOCKS: bounds the (B, G, WC) far-tile
     # intermediates (~256 MB at B=8192) while keeping each op huge; dead
@@ -229,12 +257,12 @@ def _level_pass_wq(fids, n_live, acc, pot, n_seg_total, tbl, s_l, nl_real,
     return _finish_level(acc, pot, n_seg_total, ovf_items, segk, openk,
                          bigk, part16, xr, te, cap_n=cap_n, cfg=cfg,
                          need_pot=need_pot, ng=ng, G=G, dtype=dtype,
-                         pbc=pbc)
+                         pbc=pbc, tgt_scal=tgt_scal)
 
 
 def _finish_level(acc, pot, n_seg_total, ovf_items, segk, openk, bigk,
                   part16, xr, te, *, cap_n, cfg, need_pot, ng, G, dtype,
-                  pbc=None):
+                  pbc=None, tgt_scal=None):
     """Shared level tail: segment compaction + the near pass."""
     seg_sorted = (jnp.sort(segk, axis=1) if cfg.sort_compact
                   else compact_plane(segk))
@@ -244,12 +272,12 @@ def _finish_level(acc, pot, n_seg_total, ovf_items, segk, openk, bigk,
         acc, pot, ovf_items = _near_wq(
             acc, pot, seg_sorted, n_seg, part16, xr, te, ovf_items,
             cap_n=cap_n, cfg=cfg, need_pot=need_pot, ng=ng, G=G,
-            dtype=dtype, pbc=pbc)
+            dtype=dtype, pbc=pbc, tgt_scal=tgt_scal)
     return acc, pot, n_seg_total, ovf_items, openk, bigk
 
 
 def _near_wq(acc, pot, seg_sorted, n_seg, part16, xr, te, ovf_items, *,
-             cap_n, cfg, need_pot, ng, G, dtype, pbc=None):
+             cap_n, cfg, need_pot, ng, G, dtype, pbc=None, tgt_scal=None):
     """Near pass over a compacted (ng, W) segment-key plane, as one
     batched _near_tile over flattened (group, SC-chunk) items."""
     W = seg_sorted.shape[1]
@@ -267,6 +295,41 @@ def _near_wq(acc, pot, seg_sorted, n_seg, part16, xr, te, ovf_items, *,
         items = jnp.concatenate(
             [items, jnp.full(SB - items.shape[0] % SB, IMAX, jnp.int32)])
     nsb = items.shape[0] // SB
+
+    use_pallas = (cfg.wq_pallas and pbc is None and dtype == jnp.float32
+                  and tgt_scal is not None)
+    if use_pallas:
+        from .pallas_near import near_items, pack_near_fields
+        tgt, _ = tgt_scal
+        interp = jax.default_backend() != "tpu"
+
+        def live_blk(args):
+            accg, items_b, blk = args
+            live_i = items_b != IMAX
+            it = jnp.where(live_i, items_b, 0)
+            g_of = jnp.where(live_i, it // maxc, ng).astype(jnp.int32)
+            ent = jnp.where(live_i[:, None], seg_c[it], IMAX)
+            fields = pack_near_fields(ent, part16)
+            acc_out = near_items(g_of, fields, tgt, G=G, S=SC * 32,
+                                 need_pot=need_pot, interpret=interp)
+            b0 = blk * SB
+            vis = (nc > 0) & (pos < b0 + SB) & (pos + nc > b0)
+            return accg + jnp.where(vis[:, None, None],
+                                    acc_out[:ng, :, 0:4], 0.0)
+
+        def dead_blk(args):
+            return args[0]
+
+        def scan_blk(accg, xs):
+            items_b, blk = xs
+            return lax.cond(blk * SB < n_items, live_blk, dead_blk,
+                            (accg, items_b, blk)), None
+
+        accg, _ = lax.scan(
+            scan_blk, jnp.zeros((ng, G, 4), dtype),
+            (items.reshape(nsb, SB), jnp.arange(nsb, dtype=jnp.int32)))
+        pot_d = accg[:, :, 3] if need_pot else 0.0
+        return acc + accg[:, :, 0:3], pot + pot_d, ovf_items
 
     def eval_block(args):
         items_b, blk = args
@@ -465,7 +528,8 @@ def _wq_eval(ftree: FusedTree, gtargets, geps, glo, ghi, oac, gvalid,
             cap_n=min(ng * max(bkey.shape[1] // min(cfg.sc,
                                                     bkey.shape[1]), 1),
                       cfg.wq_near_cap),
-            cfg=cfg, need_pot=need_pot, ng=ng, G=G, dtype=dtype, pbc=pbc)
+            cfg=cfg, need_pot=need_pot, ng=ng, G=G, dtype=dtype, pbc=pbc,
+            tgt_scal=tgt_scal)
     n_big = jnp.sum((bigk != IMAX).astype(jnp.int32), axis=1)
     ovf = ovf.at[1].add(
         jnp.sum(jnp.maximum(n_big - cfg.big_cap, 0), dtype=jnp.int32)
