@@ -68,9 +68,12 @@ def _far_kernel(g_ref, lvl_ref, rows_ref, tgt_ref, scal_ref,
     bmax2 = rows[_R_BMAX2:_R_BMAX2 + 1]
 
     s_l = lvl_ref[0, 0]
-    glo = (scal_ref[0, 0], scal_ref[0, 1], scal_ref[0, 2])
-    ghi = (scal_ref[0, 3], scal_ref[0, 4], scal_ref[0, 5])
-    oac = scal_ref[0, 6]
+    # scal block is (1, 1, 8) VMEM (a (1, 8) SMEM block violates the
+    # (8, 128)-tile rule on real TPUs); (1, 1) slices broadcast cleanly
+    sc = scal_ref[0]                           # (1, 8)
+    glo = (sc[:, 0:1], sc[:, 1:2], sc[:, 2:3])
+    ghi = (sc[:, 3:4], sc[:, 4:5], sc[:, 5:6])
+    oac = sc[:, 6:7]
 
     # ---- classification (fused_force._classify, non-periodic) ----
     r2b = jnp.zeros((1, WC), jnp.float32)
@@ -204,6 +207,7 @@ def far_items(g_of, s_l, rows_t, tgt, scal, *, G, WC, theta2,
     cap = rows_t.shape[0]
     ngd = tgt.shape[0]
     lvl = jnp.reshape(s_l.astype(jnp.float32), (1, 1))
+    scal = scal[:, None, :]                      # (ngd, 1, 8)
 
     kernel = functools.partial(
         _far_kernel, G=G, WC=WC, theta2=theta2,
@@ -220,8 +224,8 @@ def far_items(g_of, s_l, rows_t, tgt, scal, *, G, WC, theta2,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G, 8), lambda i, g: (g[i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8), lambda i, g: (g[i], 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 8), lambda i, g: (g[i], 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, G, 8), lambda i, g: (g[i], 0, 0),
