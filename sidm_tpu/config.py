@@ -166,6 +166,12 @@ class SimConfig:
     # (ops/fused_force.py), "wq" = flattened work-queue items
     # (ops/wq_force.py). Identical physics/pair sets; perf knob only.
     TreeWalkEngine: str = "fused"
+    # SPH engine for the phased (large-N) driver: "cell" = hashed
+    # cell-list (ops/sph.py; its candidate cap can overflow in dense
+    # regions), "fused" = tree-segment range walk sharing the force
+    # octree (ops/fused_sph.py), "auto" = fused whenever the force tree
+    # is available. The synchronized small-N step always uses "cell".
+    SphEngine: str = "auto"
 
     # --- derived (set by set_units / read_ic; not parameter-file tags) ---
     OutputListTimes: List[float] = field(default_factory=list)
@@ -193,7 +199,7 @@ _OPTIONAL_TAGS = {
     "ReflectionBoundary", "NoForce", "VelDispOn",
     "ForceMethod", "Precision", "SnapFormatOut", "EwaldGridSize",
     "TreeRefreshSteps", "PMGrid", "PMAsmth", "PMRcutFac", "PMInterlace",
-    "TreeWalkEngine",
+    "TreeWalkEngine", "SphEngine",
 }
 
 

@@ -540,6 +540,41 @@ def sidm_scatter_fused(p, pos_pred, tree: Octree, time, active, vmax, key,
         return p2, n_scat, ev
     return p2, n_scat
 
+def cell_count_hsml_seed(tree: Octree, k: int):
+    """Per-particle smoothing-length seed from tree cell counts: the
+    deepest ancestor cell holding >= 2k particles gives a local number
+    density, and h = s_cell * (3k / (4 pi count))^(1/3) (the fused analog
+    of the reference's density-based initial guess, forcetree.c:2326-2347).
+    Returns h in ORIGINAL particle order; within a few x of the exact
+    k-neighbour radius, so a multiplicative count controller converges in
+    a handful of passes."""
+    n = tree.pos_s.shape[0]
+    dtype = tree.pos_s.dtype
+    depth = tree.depth
+    offs = tree.level_offsets
+    s_sel = jnp.full(n, 1.0, dtype) * tree.extent
+    c_sel = jnp.full(n, float(n), dtype)
+    ends = list(offs[1:]) + [tree.node_start.shape[0]]
+    for l in range(1, depth + 1):
+        o = offs[l]
+        cap_l = ends[l] - o
+        ids = o + jnp.arange(cap_l, dtype=jnp.int32)
+        valid_l = jnp.arange(cap_l) < tree.n_nodes[l]
+        cnts = tree.node_count[ids]
+        tgt = jnp.where(valid_l & (cnts > 0), tree.node_start[ids], n)
+        mark = jnp.full(n + 1, -1, jnp.int32).at[tgt].set(ids)[:n]
+        nid = lax.cummax(mark)
+        c_p = tree.node_count[jnp.maximum(nid, 0)].astype(dtype)
+        ok = (nid >= 0) & (c_p >= 2 * k)
+        s_l = tree.extent / (1 << l)
+        s_sel = jnp.where(ok, s_l, s_sel)
+        c_sel = jnp.where(ok, c_p, c_sel)
+    h_sorted = s_sel * (3.0 * k / (4.0 * jnp.pi * c_sel)) ** (1.0 / 3.0)
+    inv = jnp.zeros(n, jnp.int32).at[tree.perm].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return h_sorted[inv]
+
+
 def tree_hsml_init_fused(p, tree: Octree, k: int,
                          cfg: Optional[FusedConfig] = None,
                          iters: int = 10, box: float = 0.0):
@@ -563,28 +598,9 @@ def tree_hsml_init_fused(p, tree: Octree, k: int,
     depth = tree.depth
     offs = tree.level_offsets
 
-    # density seed: deepest ancestor cell holding >= 2k particles
-    s_sel = jnp.full(n, 1.0, dtype) * tree.extent
-    c_sel = jnp.full(n, float(n), dtype)
-    ends = list(offs[1:]) + [tree.node_start.shape[0]]
-    for l in range(1, depth + 1):
-        o = offs[l]
-        cap_l = ends[l] - o
-        ids = o + jnp.arange(cap_l, dtype=jnp.int32)
-        valid_l = jnp.arange(cap_l) < tree.n_nodes[l]
-        cnts = tree.node_count[ids]
-        tgt = jnp.where(valid_l & (cnts > 0), tree.node_start[ids], n)
-        mark = jnp.full(n + 1, -1, jnp.int32).at[tgt].set(ids)[:n]
-        nid = lax.cummax(mark)
-        c_p = tree.node_count[jnp.maximum(nid, 0)].astype(dtype)
-        ok = (nid >= 0) & (c_p >= 2 * k)
-        s_l = tree.extent / (1 << l)
-        s_sel = jnp.where(ok, s_l, s_sel)
-        c_sel = jnp.where(ok, c_p, c_sel)
-    h_sorted = s_sel * (3.0 * k / (4.0 * jnp.pi * c_sel)) ** (1.0 / 3.0)
+    h = cell_count_hsml_seed(tree, k)
     inv = jnp.zeros(n, jnp.int32).at[tree.perm].set(
         jnp.arange(n, dtype=jnp.int32))
-    h = h_sorted[inv]
     col = p.is_collisionless & p.valid
     h = jnp.where(col, h, 0.0)
     hcap = 8.0 * jnp.nanmedian(jnp.where(col, h, jnp.nan))

@@ -248,7 +248,11 @@ def _density_tile(ent, rows16, gs, scal, box=0.0):
     r = jnp.sqrt(d0 * d0 + d1 * d1 + d2c * d2c)           # (GB, G, S)
 
     hb = jnp.maximum(gh, 1e-30)[:, :, None]
-    ok = okw[:, None, :] & (r < hb) & (s_type == 0)[:, None, :]
+    # strict r < gh (unclamped): a parked dead slot (gh=0) can duplicate a
+    # real particle's position, and its r=0 self-pair must not pass — the
+    # W(0)/hb^3 value would overflow in the dead lane
+    ok = (okw[:, None, :] & (r < gh[:, :, None])
+          & (s_type == 0)[:, None, :])
     u = r / hb
     wk = jnp.where(ok, sph_kernel(u) / hb**3, 0.0)
     dwk = jnp.where(ok, sph_kernel_deriv(u) / hb**4, 0.0)
@@ -332,7 +336,9 @@ def _hydro_tile(ent, rows16, gs, scal, box=0.0):
         lim = fac_visc_fix * vdotr2 / jnp.where(
             dwk < 0, msum * (2.0 * dwk) * r_safe
             * jnp.maximum(dt, 1e-30), -1e30)
-        return jnp.where((dt > 1e-30) & (dwk < 0),
+        # clamp only approaching pairs: the reference evaluates the limiter
+        # inside the if(vdotr2<0) branch (hydra.c:275,300-308)
+        return jnp.where((vdotr2 < 0) & (dt > 1e-30) & (dwk < 0),
                          jnp.minimum(visc, lim), visc)
 
     visc_i = limited(visc, dwk_i, gdt[:, :, None])
@@ -392,6 +398,10 @@ def _sph_eval(st: SphTree, gs, glo, ghi, pad, extent, drift, scal,
     GB = min(cfg.group_block, ng)
     NB = ng // GB
     assert NB * GB == ng
+    # segment keys pack cnt as min(cnt, 31) and _unpack_entries' 32-slot
+    # window only covers off+cnt <= 32 with off <= 15, so leaf segments
+    # must hold at most 16 particles
+    assert cfg.leaf_cap <= 16, "fused SPH packing requires leaf_cap <= 16"
 
     ws = _w_schedule(cfg, depth, n_real, 0.5, True)
     l0 = cfg.start_level
@@ -518,3 +528,241 @@ def _group_bbox(gt, live_t, gh, tree, box):
         ghi = jnp.where(any_v[:, None], ghi, far_here)
     pad = jnp.max(jnp.where(live_t, gh, 0.0), axis=1) + tree.drift
     return glo, ghi, pad
+
+
+# ---------------------------------------------------------------------------
+# drivers: density() and hydro_force() over the fused range walk
+# ---------------------------------------------------------------------------
+
+
+def _gas_windows(tree, h_sorted, cfg: FusedConfig):
+    """Morton windows over the compacted gas subset (h_sorted > 0 gates)."""
+    n = tree.pos_s.shape[0]
+    return make_gated_windows(tree.keys_s, h_sorted, n, cfg.group_size,
+                              tree.depth, cfg.break_level, cfg.group_block)
+
+
+def _unsort(x, gvalid, pidx, inv, n, fill):
+    """Scatter per-slot results back to original particle order."""
+    flat_idx = jnp.where(gvalid, pidx, n).reshape(-1)
+    buf = jnp.full((n + 1,) + x.shape[2:], fill, x.dtype)
+    return buf.at[flat_idx].set(x.reshape((-1,) + x.shape[2:]))[:n][inv]
+
+
+def sph_density_fused(p: Particles, pos_pred, vel_pred, tree: Octree, time,
+                      active, params: SphParams,
+                      cfg: Optional[FusedConfig] = None, box: float = 0.0,
+                      hsml_iters: int = 4):
+    """Tree-segment ``density()`` (nbody/density.c:21-354): rho, div v,
+    curl v, DtDensity/DtHsml for gas, over the fused range walk.
+
+    Smoothing lengths are refreshed by ``hsml_iters`` rounds of the
+    multiplicative neighbour-count controller (replacing
+    ensure_neighbours' bisection, density.c:382-547); the counting passes
+    reuse the density tile so the fixed point is consistent with the
+    enumeration that prices the pairs. ``hsml_iters=0`` keeps ``p.hsml``.
+    Returns the updated Particles (same fields as ops/sph.py
+    ``sph_density``)."""
+    cfg = cfg or FusedConfig()
+    n = pos_pred.shape[0]
+    dtype = pos_pred.dtype
+    depth = tree.depth
+    is_gas = p.is_gas
+    upd = is_gas & active
+
+    perm = tree.perm
+    inv = jnp.zeros(n, jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
+    ps = pos_pred[perm]
+    vs = vel_pred[perm]
+    aux = jnp.clip(p.ptype, 0, 7).astype(dtype)
+    # non-gas and padding particles park with type 7 so the s_type==0 tile
+    # test drops them even when they share a leaf segment with gas
+    aux = jnp.where(is_gas & p.valid, aux, 7.0)[perm]
+    rows = jnp.concatenate([ps, vs, p.mass[perm][:, None], aux[:, None]],
+                           axis=1)
+    st = pack_sph_tree(tree, rows)
+
+    # cold start (hsml == 0, setup_smoothinglengths analog init.c:234-513):
+    # seed from tree cell counts — without it the gated windows are empty
+    # and the multiplicative controller is stuck at 0 forever
+    from .fused_range import cell_count_hsml_seed
+    seed = cell_count_hsml_seed(tree, params.des_num_ngb)
+    hsml = jnp.where(p.hsml > 0, p.hsml, seed)
+    hsml = jnp.where(is_gas, jnp.maximum(hsml, params.min_gas_hsml), 0.0)
+    h_gate = hsml[perm]
+    pidx, gvalid, ngp, GB, NB = _gas_windows(tree, h_gate, cfg)
+
+    gt = jnp.where(gvalid[..., None], ps[pidx], 0.0)
+    gv = jnp.where(gvalid[..., None], vs[pidx], 0.0)
+    gidx = jnp.where(gvalid, pidx, -1)
+    scal = jnp.zeros((), dtype)
+    state0 = (jnp.zeros((ngp, cfg.group_size), dtype),
+              jnp.zeros((ngp, cfg.group_size), dtype),
+              jnp.zeros((ngp, cfg.group_size, 3), dtype),
+              jnp.zeros((ngp, cfg.group_size), jnp.int32))
+
+    def one_pass(h_flat):
+        hs = h_flat[perm]
+        gh = jnp.where(gvalid, hs[pidx], 0.0)
+        live_t = gvalid & (gh > 0)
+        glo, ghi, pad = _group_bbox(gt, live_t, gh, tree, box)
+        state, ovf = _eval_jit(
+            st, (gt, gv, gh, gidx), glo, ghi, pad, tree.extent, tree.drift,
+            scal, state0, cfg=cfg, depth=depth, n_real=n, box=float(box),
+            use_hmax=False, tile_name="density")
+        return state, ovf
+
+    # bracketed neighbour-count solve (ensure_neighbours' Left/Right
+    # bisection, density.c:382-547): a plain multiplicative update
+    # oscillates on outliers whose count jumps across the target band
+    # within one factor-2 move (e.g. 1 <-> 500 on a far halo particle)
+    des = jnp.asarray(params.des_num_ngb, dtype)
+    dev = jnp.asarray(params.max_num_ngb_dev, dtype)
+    left = jnp.zeros_like(hsml)
+    right = jnp.full_like(hsml, jnp.inf)
+    for _ in range(hsml_iters):
+        (_, _, _, cnt), _ = one_pass(hsml)
+        cnt_f = _unsort(cnt, gvalid, pidx, inv, n, jnp.int32(0)) \
+            .astype(dtype)
+        low = cnt_f < des - dev
+        high = cnt_f > des + dev
+        left = jnp.where(low, jnp.maximum(left, hsml), left)
+        right = jnp.where(high, jnp.minimum(right, hsml), right)
+        prop = hsml * jnp.clip(
+            (des / jnp.maximum(cnt_f, 1.0)) ** (1.0 / 3.0), 0.5, 2.0)
+        bracketed = (left > 0) & jnp.isfinite(right)
+        prop = jnp.where(bracketed, jnp.sqrt(left * right), prop)
+        hsml = jnp.where(upd & (low | high),
+                         jnp.maximum(prop, params.min_gas_hsml), hsml)
+
+    (rho_s, divv_s, rot_s, cnt_s), ovf = one_pass(hsml)
+    rho = _unsort(rho_s, gvalid, pidx, inv, n, jnp.asarray(0, dtype))
+    divv = _unsort(divv_s, gvalid, pidx, inv, n, jnp.asarray(0, dtype))
+    rot = _unsort(rot_s, gvalid, pidx, inv, n, jnp.asarray(0, dtype))
+    ngb = _unsort(cnt_s, gvalid, pidx, inv, n, jnp.int32(0))
+
+    rho_safe = jnp.maximum(rho, 1e-30)
+    curl = jnp.sqrt(jnp.sum(rot * rot, axis=-1)) / rho_safe
+    div_over_rho = divv / rho_safe
+
+    # rate terms + DesNumNgb correction + floors (density.c:304-325),
+    # identical to the cell engine (ops/sph.py sph_density)
+    if params.comoving:
+        hubble_a = hubble_of_a(time, params.hubble, params.omega0,
+                               params.omega_lambda)
+        prefac = 1.0 / (hubble_a * time**1.5)
+        dt_density = -prefac * divv
+        dt_hsml = -hsml * dt_density / (3.0 * rho_safe)
+    else:
+        dt_density = -divv
+        dt_hsml = hsml * div_over_rho / 3.0
+
+    dt_step = 2.0 * (time - p.current_time)
+    ngb_safe = jnp.maximum(ngb, 1)
+    corr = hsml / (2.0 * jnp.maximum(dt_step, 1e-30)) * (
+        (params.des_num_ngb / ngb_safe) ** (1.0 / 3.0) - 1.0)
+    dt_hsml = jnp.where(dt_step > 0, dt_hsml + corr, dt_hsml)
+    dt_density = jnp.where(dt_step > 0,
+                           jnp.maximum(-0.9 * rho / dt_step, dt_density),
+                           dt_density)
+    dt_hsml = jnp.where(dt_step > 0,
+                        jnp.maximum(-0.9 * hsml / dt_step, dt_hsml),
+                        dt_hsml)
+
+    return dataclasses.replace(
+        p,
+        hsml=jnp.where(is_gas, hsml, p.hsml),
+        density=jnp.where(upd, rho, p.density),
+        div_vel=jnp.where(upd, div_over_rho, p.div_vel),
+        curl_vel=jnp.where(upd, curl, p.curl_vel),
+        dt_density=jnp.where(upd, dt_density, p.dt_density),
+        dt_hsml=jnp.where(upd, dt_hsml, p.dt_hsml),
+        ngb_sph=jnp.where(upd, ngb, p.ngb_sph).astype(jnp.int32),
+    ), ovf
+
+
+def hydro_force_fused(p: Particles, pos_pred, vel_pred, tree: Octree, time,
+                      active, params: SphParams,
+                      cfg: Optional[FusedConfig] = None, box: float = 0.0):
+    """Tree-segment ``hydro_force()`` (nbody/hydra.c:16-441): symmetrized
+    pressure + Monaghan viscosity accelerations and du/dt for gas.
+
+    Pairs with r < max(h_i, h_j) are found by the hmax-aware walk (the
+    reference's ngb_treefind_pairs, forcetree.c:2020-2155): each node
+    carries the range-max Hsml of its Morton segment, and each target
+    gathers BOTH half-kernels of every pair — scatter-free. Returns
+    (acc, dt_egy) like ops/sph.py ``hydro_force``."""
+    cfg = cfg or FusedConfig()
+    n = pos_pred.shape[0]
+    dtype = pos_pred.dtype
+    depth = tree.depth
+    is_gas = p.is_gas
+    upd = is_gas & active
+
+    rho = jnp.maximum(p.density, 1e-30)
+    egy = jnp.maximum(p.egy_spec, params.min_egy_spec)
+    pressure = GAMMA_MINUS1 * egy * rho
+    csnd = jnp.sqrt(GAMMA * pressure / rho)
+    p_over_rho2 = pressure / (rho * rho)
+    # +1e-30: a cold (u=0, csnd=0) particle with no in-range neighbours
+    # has div=curl=0 and the Balsara switch would be 0/0
+    f_balsara = jnp.abs(p.div_vel) / (
+        jnp.abs(p.div_vel) + p.curl_vel
+        + 1e-4 * csnd / jnp.maximum(p.hsml, 1e-30) + 1e-30)
+    dt_step = 2.0 * (time - p.current_time)
+
+    if params.comoving:
+        sqrt_a = jnp.sqrt(time)
+        hubble_a = hubble_of_a(time, params.hubble, params.omega0,
+                               params.omega_lambda)
+        prefac = 1.0 / (s_of_a(time, params.hubble, params.omega0,
+                               params.omega_lambda) * time)
+        fac_visc_fix = hubble_a * time**3
+        egy_fac = time * sqrt_a
+        mu_fac = time
+    else:
+        sqrt_a, hubble_a, prefac = 1.0, 0.0, 1.0
+        fac_visc_fix, egy_fac, mu_fac = 1.0, 1.0, 1.0
+    scal = tuple(jnp.asarray(x, dtype) for x in (
+        prefac, fac_visc_fix, egy_fac, sqrt_a, hubble_a, mu_fac,
+        params.art_bulk_visc))
+
+    perm = tree.perm
+    inv = jnp.zeros(n, jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
+    ps = pos_pred[perm]
+    vs = vel_pred[perm]
+    hsml = jnp.where(is_gas, jnp.maximum(p.hsml, params.min_gas_hsml), 0.0)
+    hs = hsml[perm]
+    aux = jnp.clip(p.ptype, 0, 7).astype(dtype)
+    aux = jnp.where(is_gas & p.valid, aux, 7.0)[perm]
+    zero = jnp.zeros((n, 1), dtype)
+    rows = jnp.concatenate([
+        ps, vs, p.mass[perm][:, None], aux[:, None], hs[:, None],
+        rho[perm][:, None], csnd[perm][:, None], f_balsara[perm][:, None],
+        dt_step[perm][:, None], zero, zero, zero], axis=1)   # (N, 16)
+    st = pack_sph_tree(tree, rows, hmax_sorted=hs)
+
+    pidx, gvalid, ngp, GB, NB = _gas_windows(tree, hs, cfg)
+    gt = jnp.where(gvalid[..., None], ps[pidx], 0.0)
+    gv = jnp.where(gvalid[..., None], vs[pidx], 0.0)
+    gh = jnp.where(gvalid, hs[pidx], 0.0)
+    gm = jnp.where(gvalid, p.mass[perm][pidx], 0.0)
+    grho = jnp.where(gvalid, rho[perm][pidx], 1.0)
+    gpor2 = jnp.where(gvalid, p_over_rho2[perm][pidx], 0.0)
+    gcs = jnp.where(gvalid, csnd[perm][pidx], 0.0)
+    gfb = jnp.where(gvalid, f_balsara[perm][pidx], 0.0)
+    gdt = jnp.where(gvalid, dt_step[perm][pidx], 0.0)
+    gidx = jnp.where(gvalid, pidx, -1)
+
+    live_t = gvalid & (gh > 0)
+    glo, ghi, pad = _group_bbox(gt, live_t, gh, tree, box)
+    state0 = (jnp.zeros((ngp, cfg.group_size, 3), dtype),
+              jnp.zeros((ngp, cfg.group_size), dtype))
+    (acc_s, de_s), ovf = _eval_jit(
+        st, (gt, gv, gh, gm, grho, gpor2, gcs, gfb, gdt, gidx), glo, ghi,
+        pad, tree.extent, tree.drift, scal, state0, cfg=cfg, depth=depth,
+        n_real=n, box=float(box), use_hmax=True, tile_name="hydro")
+    acc = _unsort(acc_s, gvalid, pidx, inv, n, jnp.asarray(0, dtype))
+    dt_egy = _unsort(de_s, gvalid, pidx, inv, n, jnp.asarray(0, dtype))
+    return (jnp.where(upd[:, None], acc, 0.0),
+            jnp.where(upd, dt_egy, p.dt_egy), ovf)

@@ -99,20 +99,20 @@ def sph_density(p: Particles, pos_pred, vel_pred, time, active,
 
     def knn_block(args):
         pq, tq, hq = args
-        h, cnt, _ = knn_radius(table, pq, tq, hq, params.des_num_ngb,
-                               cap=params.cap, n_iter=3)
-        return h, cnt
+        h, cnt, ovf = knn_radius(table, pq, tq, hq, params.des_num_ngb,
+                                 cap=params.cap, n_iter=3)
+        return h, cnt, ovf
 
-    h_new, ngb = _blocked(knn_block, n, params.block, pos_pred, p.ptype,
-                          hwarm)
+    h_new, ngb, ovf_k = _blocked(knn_block, n, params.block, pos_pred,
+                                 p.ptype, hwarm)
     h_new = jnp.maximum(h_new, params.min_gas_hsml)
     upd = is_gas & active
     hsml = jnp.where(upd, h_new, p.hsml)
 
     def dens_block(args):
         pq, vq, tq, hq = args
-        idx, rows, mask, _ = gather_candidates(table, pq, tq, hq,
-                                               cap=params.cap)
+        idx, rows, mask, ovf = gather_candidates(table, pq, tq, hq,
+                                                 cap=params.cap)
         d = pq[:, None, :] - rows[..., 0:3]
         if box:
             d = d - box * jnp.round(d / box)
@@ -131,10 +131,14 @@ def sph_density(p: Particles, pos_pred, vel_pred, time, active,
         fac = jnp.where(ok & (r > 0), mj * dwk / r_safe, 0.0)
         divv = -jnp.sum(fac * jnp.sum(d * dv, axis=-1), axis=1)
         rot = jnp.sum(fac[..., None] * jnp.cross(d, dv), axis=1)
-        return rho, divv, rot
+        return rho, divv, rot, ovf
 
-    rho, divv, rot = _blocked(dens_block, n, params.block, pos_pred,
-                              vel_pred, p.ptype, hsml)
+    rho, divv, rot, ovf_d = _blocked(dens_block, n, params.block, pos_pred,
+                                     vel_pred, p.ptype, hsml)
+    # candidate-cap truncation silently drops real pairs (the reference
+    # aborts instead, density.c:522-526) — surface it to the caller
+    gasq = is_gas & p.valid
+    ovf = jnp.sum(((ovf_k | ovf_d) & gasq).astype(jnp.int32))
 
     rho_safe = jnp.maximum(rho, 1e-30)
     curl = jnp.sqrt(jnp.sum(rot * rot, axis=-1)) / rho_safe
@@ -172,7 +176,7 @@ def sph_density(p: Particles, pos_pred, vel_pred, time, active,
         dt_density=jnp.where(upd, dt_density, p.dt_density),
         dt_hsml=jnp.where(upd, dt_hsml, p.dt_hsml),
         ngb_sph=jnp.where(upd, ngb, p.ngb_sph).astype(jnp.int32),
-    ), table
+    ), table, ovf
 
 
 def hydro_force(p: Particles, pos_pred, vel_pred, time, active,
@@ -193,9 +197,11 @@ def hydro_force(p: Particles, pos_pred, vel_pred, time, active,
     pressure = GAMMA_MINUS1 * egy * rho
     csnd = jnp.sqrt(GAMMA * pressure / rho)
     p_over_rho2 = pressure / (rho * rho)
+    # +1e-30: a cold (u=0, csnd=0) particle with no in-range neighbours
+    # has div=curl=0 and the Balsara switch would be 0/0
     f_balsara = jnp.abs(p.div_vel) / (
         jnp.abs(p.div_vel) + p.curl_vel
-        + 1e-4 * csnd / jnp.maximum(p.hsml, 1e-30))
+        + 1e-4 * csnd / jnp.maximum(p.hsml, 1e-30) + 1e-30)
 
     if params.comoving:
         sqrt_a = jnp.sqrt(time)
@@ -240,10 +246,11 @@ def hydro_force(p: Particles, pos_pred, vel_pred, time, active,
     table = with_payload(table, wide)
 
     def blk(carry, a):
-        acc, dt_egy = carry
+        acc, dt_egy, novf = carry
         pq, vq, tq, hq, iq = a
-        idx, rows, mask, _ = gather_candidates(table, pq, tq, hq,
-                                               cap=params.cap)
+        idx, rows, mask, ovf = gather_candidates(table, pq, tq, hq,
+                                                 cap=params.cap)
+        novf = novf + jnp.sum((ovf & (tq == 0)).astype(jnp.int32))
         d = pq[:, None, :] - rows[..., 0:3]         # dx = x_q - x_c
         if box:
             d = d - box * jnp.round(d / box)
@@ -284,7 +291,11 @@ def hydro_force(p: Particles, pos_pred, vel_pred, time, active,
         lim = fac_visc_fix * vdotr2 / jnp.where(
             dwk_q < 0, msum * (2.0 * dwk_q) * jnp.maximum(r, 1e-30)
             * jnp.maximum(dt_step[iq][:, None], 1e-30), -1e30)
-        visc = jnp.where((dt_step[iq][:, None] > 0) & (dwk_q < 0),
+        # the clamp only applies to approaching pairs: the reference
+        # evaluates it inside the if(vdotr2<0) branch, so receding pairs
+        # keep visc=0 (hydra.c:275,300-308)
+        visc = jnp.where((vdotr2 < 0) & (dt_step[iq][:, None] > 0)
+                         & (dwk_q < 0),
                          jnp.minimum(visc, lim), visc)
 
         # neighbour P/rho^2 from its payload: P/rho^2 = csnd^2/(GAMMA rho)
@@ -313,10 +324,11 @@ def hydro_force(p: Particles, pos_pred, vel_pred, time, active,
         de_sc = jnp.where(ok & act_c, 0.5 * egy_fac * hfc_c * vdotr2, 0.0)
         acc = acc.at[idx.reshape(-1)].add(a_sc.reshape(-1, 3))
         dt_egy = dt_egy.at[idx.reshape(-1)].add(de_sc.reshape(-1))
-        return (acc, dt_egy), None
+        return (acc, dt_egy, novf), None
 
-    (acc, dt_egy), _ = lax.scan(blk, (acc, dt_egy), args)
+    (acc, dt_egy, novf), _ = lax.scan(
+        blk, (acc, dt_egy, jnp.zeros((), jnp.int32)), args)
 
     upd = is_gas & active
     return (jnp.where(upd[:, None], acc, 0.0),
-            jnp.where(upd, dt_egy, p.dt_egy))
+            jnp.where(upd, dt_egy, p.dt_egy), novf)

@@ -350,16 +350,19 @@ class Simulation:
                 else:
                     p, n_scat = out
 
+            ngb_ovf = jnp.zeros((), jnp.int32)
             if has_gas:
                 # density(); ensure_neighbours(); hydro_force() — the gas
                 # half of compute_accelerations (accel.c:71-116)
                 from .ops.sph import hydro_force, sph_density
                 boxv = consts.box_size if consts.periodic else 0.0
-                p, ngb_table = sph_density(p, pos_pred, vel_pred, t_next,
-                                           active, sph_params, box=boxv)
-                h_acc, dt_egy = hydro_force(p, pos_pred, vel_pred, t_next,
-                                            active, sph_params, ngb_table,
-                                            box=boxv)
+                p, ngb_table, ovf_d = sph_density(p, pos_pred, vel_pred,
+                                                  t_next, active, sph_params,
+                                                  box=boxv)
+                h_acc, dt_egy, ovf_h = hydro_force(p, pos_pred, vel_pred,
+                                                   t_next, active, sph_params,
+                                                   ngb_table, box=boxv)
+                ngb_ovf = ovf_d + ovf_h
                 upd = active & p.is_gas
                 p = dataclasses.replace(
                     p,
@@ -385,7 +388,7 @@ class Simulation:
 
             vmax_new = timestep.get_vmax(p)
             n_active = jnp.sum(active.astype(jnp.int32))
-            return p, t_next, vmax_new, n_active, n_scat, events
+            return p, t_next, vmax_new, n_active, n_scat, events, ngb_ovf
 
         return do_step
 
@@ -528,26 +531,55 @@ class Simulation:
             return veldisp_op(p, pos_pred, vel_pred, active,
                               des_num_ngb=cfg.DesNumNgb, box=boxv)
 
+        use_fused_sph = (cfg.SphEngine == "fused"
+                         or (cfg.SphEngine == "auto"
+                             and cfg.ForceMethod == "tree"))
+
         @jax.jit
-        def phase_gas(p: Particles, t_next, active, pos_pred, vel_pred):
+        def _phase_gas_cell(p: Particles, t_next, active, pos_pred,
+                            vel_pred):
+            from .ops.sph import hydro_force, sph_density
+            boxv = consts.box_size if consts.periodic else 0.0
+            p, ngb_table, ovf_d = sph_density(p, pos_pred, vel_pred,
+                                              t_next, active, sph_params,
+                                              box=boxv)
+            h_acc, dt_egy, ovf_h = hydro_force(p, pos_pred, vel_pred,
+                                               t_next, active, sph_params,
+                                               ngb_table, box=boxv)
+            return p, h_acc, dt_egy, ovf_d + ovf_h
+
+        def phase_gas(p: Particles, t_next, active, pos_pred, vel_pred,
+                      tree):
             """density(); hydro_force() — the gas half of
             compute_accelerations (accel.c:71-116) as its own phase so
             large-N (phased) gas runs integrate hydro too. pos/vel_pred
             come from the FORCE phase (predicted with the pre-step
             accel, predict.c semantics — recomputing here would use the
-            just-updated accel)."""
-            from .ops.sph import hydro_force, sph_density
+            just-updated accel).
+
+            The fused tree-segment engine (ops/fused_sph.py) reuses the
+            force phase's octree; the hashed cell engine is the
+            ``SphEngine cell`` fallback (its candidate cap can overflow
+            at large N — overflow is returned either way)."""
             boxv = consts.box_size if consts.periodic else 0.0
-            p, ngb_table = sph_density(p, pos_pred, vel_pred, t_next,
-                                       active, sph_params, box=boxv)
-            h_acc, dt_egy = hydro_force(p, pos_pred, vel_pred, t_next,
-                                        active, sph_params, ngb_table,
-                                        box=boxv)
+            if use_fused_sph and tree is not None:
+                from .ops.fused_sph import (hydro_force_fused,
+                                            sph_density_fused)
+                p, ovf_d = sph_density_fused(p, pos_pred, vel_pred, tree,
+                                             t_next, active, sph_params,
+                                             box=boxv)
+                h_acc, dt_egy, ovf_h = hydro_force_fused(
+                    p, pos_pred, vel_pred, tree, t_next, active, sph_params,
+                    box=boxv)
+                ovf = jnp.sum(ovf_d) + jnp.sum(ovf_h)
+            else:
+                p, h_acc, dt_egy, ovf = _phase_gas_cell(
+                    p, t_next, active, pos_pred, vel_pred)
             upd = active & p.is_gas
             return dataclasses.replace(
                 p,
                 accel=p.accel + jnp.where(upd[:, None], h_acc, 0.0),
-                dt_egy=jnp.where(upd, dt_egy, p.dt_egy))
+                dt_egy=jnp.where(upd, dt_egy, p.dt_egy)), ovf
 
         @partial(jax.jit, static_argnums=(4,))
         def phase_finish(p: Particles, t_next, active, vmax, first):
@@ -670,7 +702,9 @@ class Simulation:
             _mark("sidm", n_scat)
 
         if phase_gas is not None:
-            p = phase_gas(p, t_next, active, pos_pred, vel_pred)
+            p, gas_ovf = phase_gas(p, t_next, active, pos_pred, vel_pred,
+                                   tree)
+            self._check_ngb_overflow(gas_ovf)
             _mark("gas", p.accel)
 
         p, vmax_new, n_active = phase_finish(p, t_next, active, vmax, first)
@@ -733,7 +767,7 @@ class Simulation:
             if self._step_jit is None:
                 self._step_jit = self._build_step()
             key = step_key(self.root_key, 0x7FFFFFFF)  # init-phase sentinel
-            p, t, vmax, _, _, _ = self._step_jit(self.particles, self.vmax,
+            p, t, vmax, _, _, _, _ = self._step_jit(self.particles, self.vmax,
                                                  key, True)
             self.particles, self.time, self.vmax = p, float(t), float(vmax)
 
@@ -754,16 +788,33 @@ class Simulation:
         if self._step_jit is None:
             self._step_jit = self._build_step()
         key = step_key(self.root_key, self.step_count)
-        p, t, vmax, n_active, n_scat, events = self._step_jit(
+        p, t, vmax, n_active, n_scat, events, ngb_ovf = self._step_jit(
             self.particles, self.vmax, key, False)
         self.particles = p
         prev_time = self.time
         self.time = float(t)
         self.vmax = float(vmax)
         self.step_count += 1
+        self._check_ngb_overflow(ngb_ovf)
         if events is not None and self.cfg.ScatterLog:
             self._write_scatter_log(events)
         return self.time - prev_time, int(n_active), int(n_scat)
+
+    def _check_ngb_overflow(self, ngb_ovf):
+        """Neighbour-candidate cap exceeded: pairs were dropped. The
+        reference aborts here (density.c:522-526); we warn loudly (once
+        per run) so results are not silently biased."""
+        n = int(ngb_ovf)
+        if n > 0:
+            self.ngb_overflow_total = getattr(
+                self, "ngb_overflow_total", 0) + n
+            if not getattr(self, "_ngb_ovf_warned", False):
+                self._ngb_ovf_warned = True
+                import warnings
+                warnings.warn(
+                    f"SPH neighbour-candidate cap exceeded for {n} queries "
+                    f"this step: pairs were DROPPED. Raise SphParams.cap "
+                    f"or switch to the fused SPH engine (SphEngine fused).")
 
     def _write_scatter_log(self, events):
         """Append binary per-event records (SCATTERLOG, sidm.c:96-104,

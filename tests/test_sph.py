@@ -50,7 +50,7 @@ def test_density_matches_brute_force():
     p = _gas_box(400, seed=1)
     t = jnp.float32(0.05)
     active = p.valid
-    p2, table = sph_density(p, p.pos, p.vel, t, active, _params())
+    p2, table, _ovf = sph_density(p, p.pos, p.vel, t, active, _params())
     pos = np.asarray(p.pos)
     vel = np.asarray(p.vel)
     mass = np.asarray(p.mass)
@@ -69,8 +69,8 @@ def test_hydro_force_pairwise_symmetry():
     p = _gas_box(300, seed=2)
     t = jnp.float32(0.05)
     active = p.valid
-    p2, table = sph_density(p, p.pos, p.vel, t, active, _params())
-    acc, dt_egy = hydro_force(p2, p.pos, p.vel, t, active, _params(), table)
+    p2, table, _ovf = sph_density(p, p.pos, p.vel, t, active, _params())
+    acc, dt_egy, _ = hydro_force(p2, p.pos, p.vel, t, active, _params(), table)
     acc = np.asarray(acc, np.float64)
     m = np.asarray(p.mass, np.float64)
     net = (m[:, None] * acc).sum(0)
@@ -90,8 +90,8 @@ def test_hydro_force_pushes_apart_dense_region():
                        np.zeros(n, np.int32), egy_spec=np.full(n, 1.0),
                        pad_to_multiple=n)
     t = jnp.float32(0.05)
-    p2, table = sph_density(p, p.pos, p.vel, t, p.valid, _params())
-    acc, _ = hydro_force(p2, p.pos, p.vel, t, p.valid, _params(), table)
+    p2, table, _ovf = sph_density(p, p.pos, p.vel, t, p.valid, _params())
+    acc, _, _ = hydro_force(p2, p.pos, p.vel, t, p.valid, _params(), table)
     acc = np.asarray(acc)
     # clump particles accelerate away from the clump center
     d = pos[:64] - 0.5
@@ -109,8 +109,8 @@ def test_viscosity_damps_approach():
     p = make_particles(pos, vel, np.full(n, 1.0 / n), np.zeros(n, np.int32),
                        egy_spec=np.full(n, 0.01), pad_to_multiple=n)
     t = jnp.float32(0.05)
-    p2, table = sph_density(p, p.pos, p.vel, t, p.valid, _params())
-    acc, dt_egy = hydro_force(p2, p.pos, p.vel, t, p.valid, _params(), table)
+    p2, table, _ovf = sph_density(p, p.pos, p.vel, t, p.valid, _params())
+    acc, dt_egy, _ = hydro_force(p2, p.pos, p.vel, t, p.valid, _params(), table)
     # entropy generation is positive on average near the interface
     de = np.asarray(dt_egy)
     mid = np.abs(pos[:, 0] - 0.5) < 0.1
