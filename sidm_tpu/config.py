@@ -162,10 +162,22 @@ class SimConfig:
     PMAsmth: float = 2.0                # split scale in mesh cells
     PMRcutFac: float = 6.0              # short-range cutoff / (asmth h)
     PMInterlace: int = 1                # half-cell interlaced deposit+gather
+    # Vacuum (isolated) TreePM: zero-padded free-space mesh for the far
+    # field of NON-periodic tree runs (ops/pm.py build_pm_kernel_free).
+    # The tree walk truncates at rcut, so frontier and interaction lists
+    # collapse to the local ball. 0 = off (pure tree far field).
+    PMVacuum: int = 0
     # Tree-walk execution schedule: "fused" = per-block frontier loops
     # (ops/fused_force.py), "wq" = flattened work-queue items
     # (ops/wq_force.py). Identical physics/pair sets; perf knob only.
     TreeWalkEngine: str = "fused"
+    # Cached interaction lists (ops/list_force.py): record the walk's
+    # accept/open classification once per tree rebuild under a Verlet-style
+    # displacement skin, then evaluate forces each step straight off the
+    # lists (no per-step walk). 0 disables (re-walk every step).
+    ListMode: int = 1
+    ListFarCap: int = 12288             # per-group far (multipole) entries
+    ListNearCap: int = 8192             # per-group near (segment) entries
     # SPH engine for the phased (large-N) driver: "cell" = hashed
     # cell-list (ops/sph.py; its candidate cap can overflow in dense
     # regions), "fused" = tree-segment range walk sharing the force
@@ -199,7 +211,8 @@ _OPTIONAL_TAGS = {
     "ReflectionBoundary", "NoForce", "VelDispOn",
     "ForceMethod", "Precision", "SnapFormatOut", "EwaldGridSize",
     "TreeRefreshSteps", "PMGrid", "PMAsmth", "PMRcutFac", "PMInterlace",
-    "TreeWalkEngine", "SphEngine",
+    "TreeWalkEngine", "SphEngine", "ListMode", "ListFarCap", "ListNearCap",
+    "PMVacuum",
 }
 
 

@@ -380,7 +380,7 @@ def _near_tile(ent, part16, xr, te, need_pot=True, pbc=None):
     d0 = xr[:, :, None, 0] - yx[:, None, :]
     d1 = xr[:, :, None, 1] - yy[:, None, :]
     d2 = xr[:, :, None, 2] - yz[:, None, :]
-    if pbc is not None:
+    if pbc is not None and pbc[0] > 0:
         box = pbc[0]
         d0 = d0 - box * jnp.round(d0 / box)
         d1 = d1 - box * jnp.round(d1 / box)
@@ -421,7 +421,7 @@ def _classify(rows, glo, ghi, oac, s_l, theta2, use_relative, leaf_cap,
     com = rows[..., _COM]
     m = rows[..., _MASS]
     cnt = rows[..., _CNT]
-    if pbc is not None:
+    if pbc is not None and pbc[0] > 0:
         box = pbc[0]
         gc = 0.5 * (glo + ghi)[:, None, :]
         hw = 0.5 * (ghi - glo)[:, None, :]
@@ -429,6 +429,8 @@ def _classify(rows, glo, ghi, oac, s_l, theta2, use_relative, leaf_cap,
         delta = delta - box * jnp.round(delta / box)
         dx = jnp.maximum(jnp.abs(delta) - hw, 0.0)
     else:
+        # vacuum (pbc None, or TreePM split with box=0: rcut truncation
+        # and the screened pair force without minimum-image wrap)
         dx = jnp.maximum(
             jnp.maximum(glo[:, None, :] - com, com - ghi[:, None, :]), 0.0)
     r2b = jnp.sum(dx * dx, axis=-1)                       # (GB,WC)
@@ -499,9 +501,10 @@ def _far_tile_pbc(rows, trq, xr, te, pbc, need_pot=True):
     d0 = rows[..., None, :, 0] - xr[..., 0][..., None]    # (GB,G,WC)
     d1 = rows[..., None, :, 1] - xr[..., 1][..., None]
     d2 = rows[..., None, :, 2] - xr[..., 2][..., None]
-    d0 = d0 - box * jnp.round(d0 / box)
-    d1 = d1 - box * jnp.round(d1 / box)
-    d2 = d2 - box * jnp.round(d2 / box)
+    if box > 0:
+        d0 = d0 - box * jnp.round(d0 / box)
+        d1 = d1 - box * jnp.round(d1 / box)
+        d2 = d2 - box * jnp.round(d2 / box)
     r2 = d0 * d0 + d1 * d1 + d2 * d2
     r = jnp.sqrt(r2)
     h = 2.8 * jnp.maximum(te[:, :, None], epsn[:, None, :])
@@ -1006,7 +1009,7 @@ def fused_gravity_tree(tree, mass, eps, old_acc, *, theta=0.5, opening=1,
     glo = jnp.min(jnp.where(gvalid[..., None], gtargets, big), axis=1)
     ghi = jnp.max(jnp.where(gvalid[..., None], gtargets, -big), axis=1)
     any_v = jnp.any(gvalid, axis=1)
-    if pbc is None:
+    if pbc is None or pbc[0] <= 0:
         # dead groups: park the bbox far outside so nothing opens
         far_here = tree.origin + 4.0 * tree.extent
         glo = jnp.where(any_v[:, None], glo, far_here)

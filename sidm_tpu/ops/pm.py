@@ -45,6 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.scipy.special import erf
+from scipy.special import erf as erf_np
 
 from .tree import block_prefix, range_sum
 
@@ -331,5 +332,159 @@ def pm_accel(kern: PMKernel, pos, mass, *, with_potential: bool = False):
     if kern.interlace:
         out2 = cic_gather(solve(True), jnp.remainder(pos - 0.5 * h, box),
                           box, n)
+        out = 0.5 * (out + out2)
+    return out[..., :3], out[..., 3]
+
+
+# ---------------------------------------------------------------------------
+# Vacuum (isolated) PM: zero-padded Hockney-Eastwood convolution.
+#
+# The periodic kernel above is an analytic k-space Green's function — its
+# convolution is the PERIODIC lattice sum. Isolated halos need the free-
+# space solution, so the padded-grid Green's function is instead the DFT
+# of the REAL-SPACE screened kernel -erf(alpha r)/r sampled on the 2n
+# grid (minimum-image on the doubled box): cyclic convolution with it is
+# EXACT linear convolution for any pair inside the physical n-region,
+# and the same TreePM split (short = screened pairs under rcut in the
+# tree engines with pbc=(0, alpha, rcut), long = this mesh) reproduces
+# the open-boundary force to mesh accuracy. This replaces nothing in the
+# reference (GADGET-1.1 has no PM at all) — it is the TPU-side choice
+# that moves the far field of isolated runs from tree multipoles onto
+# the MXU's matmul DFTs.
+
+
+class PMKernelFree(NamedTuple):
+    fmat_r: jax.Array     # (2n, 2n) forward DFT cos on the padded grid
+    fmat_i: jax.Array     # (2n, 2n) forward DFT -sin
+    greens: jax.Array     # (2n,2n,2n) DFT[-erf(ar)/r]/(2n)^3 / W_cic^2
+    kvec: jax.Array       # (2n,) physical k of the padded grid (signed)
+    origin: jax.Array     # (3,) physical position of grid point (0,0,0)
+    box: float            # physical span of the n-region (L)
+    n: int                # physical mesh size (padded arrays are 2n)
+    alpha: float
+    rcut: float
+    pot_self: float
+    interlace: bool
+
+
+jax.tree_util.register_pytree_node(
+    PMKernelFree,
+    lambda k: ((k.fmat_r, k.fmat_i, k.greens, k.kvec, k.origin),
+               (k.box, k.n, k.alpha, k.rcut, k.pot_self, k.interlace)),
+    lambda aux, ch: PMKernelFree(*ch, *aux),
+)
+
+
+def build_pm_kernel_free(center, radius: float, n: int = 128,
+                         asmth: float = 1.25, rcut_fac: float = 4.5,
+                         interlace: bool = True) -> PMKernelFree:
+    """Free-space mesh kernel covering the sphere (center, radius).
+
+    The physical span L solves L = 2*radius + 2*(rcut + 2h) with
+    h = L/n: margin so every particle (and its interlaced half-cell
+    images) deposits without wrap and the short-range ball never reaches
+    the padding region."""
+    pad_cells = 2.0 * (rcut_fac * asmth + 2.0)
+    L = 2.0 * float(radius) / max(1.0 - pad_cells / n, 0.5)
+    h = L / n
+    alpha = 1.0 / (2.0 * asmth * h)
+    rcut = rcut_fac * asmth * h
+    m = 2 * n
+
+    p = np.arange(m)
+    ang = -2.0 * np.pi / m * np.outer(p, p)
+    fmat_r = jnp.asarray(np.cos(ang), jnp.float32)
+    fmat_i = jnp.asarray(np.sin(ang), jnp.float32)
+
+    # real-space screened kernel on the doubled box (minimum image)
+    imi = ((p + n) % m) - n                       # [-n, n)
+    r1 = np.abs(imi).astype(np.float64) * h
+    rx = r1[:, None, None]
+    ry = r1[None, :, None]
+    rz = r1[None, None, :]
+    r = np.sqrt(rx * rx + ry * ry + rz * rz)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        g = -erf_np(alpha * r) / r
+    g[0, 0, 0] = -2.0 * alpha / _SQRT_PI
+    g = jnp.asarray(g, jnp.float32)
+
+    # one padded-grid DFT at build time (real even kernel -> real spectrum)
+    gr, gi = _dft3(g, jnp.zeros_like(g), fmat_r, fmat_i)
+    mm = np.where(p > m // 2, p - m, p).astype(np.float64)
+    s = np.sinc(mm / m)
+    w1 = s * s
+    w2 = (w1[:, None, None] * w1[None, :, None] * w1[None, None, :]) ** 2
+    greens = gr / jnp.asarray(w2 * m ** 3, jnp.float32)
+
+    k1 = 2.0 * np.pi / (m * h) * mm
+    center = np.asarray(center, np.float64)
+    origin = jnp.asarray(center - 0.5 * L, jnp.float32)
+    kern = PMKernelFree(fmat_r=fmat_r, fmat_i=fmat_i, greens=greens,
+                        kvec=jnp.asarray(k1, jnp.float32), origin=origin,
+                        box=float(L), n=int(n), alpha=float(alpha),
+                        rcut=float(rcut), pot_self=0.0,
+                        interlace=bool(interlace))
+    probe = jnp.asarray([center + np.array([0.0811, 0.0377, -0.0629])
+                         * radius], jnp.float32)
+    _, pot = pm_accel_free(kern, probe, jnp.ones(1, jnp.float32),
+                           with_potential=True)
+    return kern._replace(pot_self=float(pot[0]))
+
+
+@partial(jax.jit, static_argnames=("with_potential",))
+def pm_accel_free(kern: PMKernelFree, pos, mass, *,
+                  with_potential: bool = False):
+    """Long-range acceleration (and optional potential), open boundaries.
+
+    Same conventions as pm_accel: raw internal units, per-particle mesh
+    self term left in pot."""
+    n = kern.n
+    m = 2 * n
+    box = kern.box
+    h = box / n
+    # clamp guard: build_pm_kernel_free's margin keeps real particles
+    # >= 2h from the region edge; the clamp only ever moves escapers
+    q = jnp.clip(pos - kern.origin[None, :], 1.6 * h, box - 1.6 * h)
+
+    def fwd(p):
+        rho = cic_deposit(p, mass, box, n)
+        rho_p = jnp.zeros((m, m, m), jnp.float32).at[:n, :n, :n].set(rho)
+        return _dft3(rho_p, jnp.zeros_like(rho_p), kern.fmat_r,
+                     kern.fmat_i)
+
+    re, im = fwd(q)
+    if kern.interlace:
+        k1 = kern.kvec
+        ph = 0.5 * h * (k1[:, None, None] + k1[None, :, None]
+                        + k1[None, None, :])
+        cph, sph = jnp.cos(ph), jnp.sin(ph)
+        re2, im2 = fwd(q + 0.5 * h)
+        re, im = (0.5 * (re + re2 * cph - im2 * sph),
+                  0.5 * (im + re2 * sph + im2 * cph))
+    phi_r = re * kern.greens
+    phi_i = im * kern.greens
+
+    br, bi = kern.fmat_r, -kern.fmat_i
+
+    def solve(shift):
+        fields = []
+        kx = kern.kvec[:, None, None]
+        ky = kern.kvec[None, :, None]
+        kz = kern.kvec[None, None, :]
+        hats = [(kc * phi_i, -kc * phi_r) for kc in (kx, ky, kz)]
+        if with_potential:
+            hats.append((phi_r, phi_i))
+        for ar, ai in hats:
+            if shift:
+                ar, ai = ar * cph - ai * sph, ar * sph + ai * cph
+            rr, _ = _dft3(ar, ai, br, bi)
+            fields.append(rr[:n, :n, :n].reshape(-1))
+        if not with_potential:
+            fields.append(jnp.zeros(n ** 3, jnp.float32))
+        return jnp.stack(fields, axis=-1)
+
+    out = cic_gather(solve(False), q, box, n)
+    if kern.interlace:
+        out2 = cic_gather(solve(True), q - 0.5 * h, box, n)
         out = 0.5 * (out + out2)
     return out[..., :3], out[..., 3]

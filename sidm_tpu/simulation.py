@@ -188,6 +188,44 @@ class Simulation:
                 and self.cfg.ForceMethod == "tree"
                 and self.cfg.PMGrid >= 0)
 
+    def _use_vacuum_pm(self):
+        """Isolated tree runs with PMVacuum=1: far field on the free-space
+        mesh (ops/pm.py build_pm_kernel_free), short range in the tree
+        engines truncated at rcut."""
+        return (not self.cfg.PeriodicBoundariesOn
+                and self.cfg.ForceMethod == "tree"
+                and bool(self.cfg.PMVacuum))
+
+    def _pm_kernel_free(self):
+        """Free-space mesh operator (cached). The region covers the
+        reflection sphere when one is configured, else the current
+        particle bounding sphere with a 1.5x margin."""
+        if getattr(self, "_pm_free_cache", None) is None:
+            from .ops.pm import build_pm_kernel_free
+            n_mesh = int(self.cfg.PMGrid)
+            if n_mesh <= 0:
+                npart = (self.particles.pos.shape[0]
+                         if self.particles is not None else 1 << 20)
+                n_mesh = 64
+                while n_mesh < 2.0 * npart ** (1.0 / 3.0) and n_mesh < 256:
+                    n_mesh *= 2
+            if self.cfg.ReflectionBoundary > 0:
+                center = np.zeros(3)
+                radius = float(self.cfg.ReflectionBoundary) * 1.02
+            else:
+                pos = np.asarray(self.particles.pos)
+                valid = np.asarray(self.particles.valid)
+                pv = pos[valid]
+                center = 0.5 * (pv.min(0) + pv.max(0))
+                radius = 1.5 * float(
+                    np.sqrt(((pv - center) ** 2).sum(1).max()))
+            self._pm_free_cache = build_pm_kernel_free(
+                center, radius, n=n_mesh,
+                asmth=float(self.cfg.PMAsmth),
+                rcut_fac=float(self.cfg.PMRcutFac),
+                interlace=bool(self.cfg.PMInterlace))
+        return self._pm_free_cache
+
     def _pm_kernel(self):
         """Mesh operator for the TreePM long-range force (cached)."""
         if getattr(self, "_pm_cache", None) is None:
@@ -416,10 +454,12 @@ class Simulation:
 
         wcfg = WalkConfig()
         use_treepm = self._use_treepm()
+        use_vacpm = self._use_vacuum_pm()
         use_fused = (cfg.ForceMethod == "tree"
                      and (boxv is None or use_treepm))
         pm_kern = None
         pbc = None
+        pm_fn = None
         if use_fused:
             from .ops.fused_force import (FusedConfig, default_depth,
                                           fused_gravity_tree)
@@ -434,6 +474,32 @@ class Simulation:
                 from .ops.pm import pm_accel
                 pm_kern = self._pm_kernel()
                 pbc = (float(boxv), pm_kern.alpha, pm_kern.rcut)
+
+                def pm_fn(pos_pred, mass):
+                    return pm_accel(pm_kern, pos_pred, mass,
+                                    with_potential=False)[0]
+            elif use_vacpm:
+                from .ops.pm import pm_accel_free
+                pm_kern = self._pm_kernel_free()
+                # box=0: rcut truncation + screened pairs, no wrap
+                pbc = (0.0, pm_kern.alpha, pm_kern.rcut)
+
+                def pm_fn(pos_pred, mass):
+                    return pm_accel_free(pm_kern, pos_pred, mass,
+                                         with_potential=False)[0]
+        use_lists = use_fused and bool(cfg.ListMode)
+        if use_lists:
+            from .ops.list_force import (ListConfig, advance_tree,
+                                         eval_lists, max_displacement,
+                                         record_lists)
+            lfc = ListConfig(far_cap=int(cfg.ListFarCap),
+                             near_cap=int(cfg.ListNearCap))
+            # node-vs drift (forcetree.c node prediction) replaces the
+            # full moments refresh between rebuilds; comoving runs keep
+            # the refresh (softenings/moment factors are time-dependent)
+            # as do gas runs (fused_sph reads refreshed part_rows)
+            use_drift = (not cfg.ComovingIntegrationOn
+                         and not self._has_gas())
 
         # static promise for the tree build: one softening value across
         # all types present — node eps_max then broadcasts instead of
@@ -452,10 +518,17 @@ class Simulation:
         uniform_eps = len({(float(com[t]), float(phys[t]))
                            for t in present}) == 1
 
-        def _force_core(p: Particles, vmax, tree_in):
+        def _force_core(p: Particles, vmax, tree_in, lists_in=None,
+                        skin=None, record=False):
             """Shared body of the force phase. tree_in None = fresh
             topology build; otherwise moments-only refresh_octree on the
-            frozen topology (lazy-rebuild cadence, cfg.TreeRefreshSteps)."""
+            frozen topology (lazy-rebuild cadence, cfg.TreeRefreshSteps).
+
+            List mode (ops/list_force.py): record=True builds the tree AND
+            records interaction lists under ``skin``, evaluating the force
+            off the fresh lists; lists_in evaluates off cached lists
+            against refreshed moments and also returns the max
+            displacement since record time (validity monitor)."""
             t_next = jnp.minimum(integrate.find_next_time(p), time_max)
             active = integrate.active_mask(p, t_next)
             pos_pred, vel_pred = integrate.predict_positions(p, t_next,
@@ -463,6 +536,7 @@ class Simulation:
             eps = params.softening_table[jnp.clip(p.ptype, 0, 5)]
             mass = jnp.where(p.valid, p.mass, 0.0)
             n = pos_pred.shape[0]
+            extra = None
             if use_fused:
                 # one deep tree shared by gravity and the SIDM range walk
                 if tree_in is None:
@@ -470,19 +544,38 @@ class Simulation:
                                         box=boxv or 0.0,
                                         depth=default_depth(n),
                                         uniform_eps=uniform_eps)
+                elif lists_in is not None and use_lists and use_drift:
+                    tree = advance_tree(tree_in, lists_in, pos_pred,
+                                        t_next)
                 else:
                     tree = refresh_octree(tree_in, pos_pred, mass, eps,
                                           p.valid, box=boxv or 0.0)
-                raw_acc, pot = fused_gravity_tree(
-                    tree, mass, eps, p.old_acc,
-                    theta=cfg.ErrTolTheta,
-                    opening=cfg.TypeOfOpeningCriterion,
-                    err_tol_force_acc=cfg.ErrTolForceAcc,
-                    config=fcfg, need_pot=False, pbc=pbc)
-                if use_treepm:
-                    acc_l, _ = pm_accel(pm_kern, pos_pred, mass,
-                                        with_potential=False)
-                    raw_acc = raw_acc + acc_l
+                if record:
+                    lists = record_lists(
+                        tree, p.old_acc[tree.perm], (mass > 0)[tree.perm],
+                        theta=cfg.ErrTolTheta,
+                        use_relative=(cfg.TypeOfOpeningCriterion == 1),
+                        err_tol_force_acc=cfg.ErrTolForceAcc,
+                        cfg=fcfg, lcfg=lfc, skin=skin, pbc=pbc,
+                        vel=p.vel, t_now=t_next)
+                    raw_acc, pot = eval_lists(tree, lists, mass, eps,
+                                              cfg=fcfg, lcfg=lfc,
+                                              need_pot=False, pbc=pbc)
+                    extra = lists
+                elif lists_in is not None:
+                    raw_acc, pot = eval_lists(tree, lists_in, mass, eps,
+                                              cfg=fcfg, lcfg=lfc,
+                                              need_pot=False, pbc=pbc)
+                    extra = max_displacement(lists_in, tree.pos_s)
+                else:
+                    raw_acc, pot = fused_gravity_tree(
+                        tree, mass, eps, p.old_acc,
+                        theta=cfg.ErrTolTheta,
+                        opening=cfg.TypeOfOpeningCriterion,
+                        err_tol_force_acc=cfg.ErrTolForceAcc,
+                        config=fcfg, need_pot=False, pbc=pbc)
+                if pm_fn is not None:
+                    raw_acc = raw_acc + pm_fn(pos_pred, mass)
             else:
                 del tree_in  # legacy periodic path rebuilds every step
                 tree = build_octree(pos_pred, mass, eps, p.valid,
@@ -508,15 +601,26 @@ class Simulation:
                 old_acc=jnp.where(active, old_acc, p.old_acc),
                 pot=jnp.where(active, pot, p.pot),
             )
-            return p, t_next, active, pos_pred, vel_pred, tree
+            return p, t_next, active, pos_pred, vel_pred, tree, extra
 
         @partial(jax.jit, static_argnums=())
         def phase_force(p: Particles, vmax):
-            return _force_core(p, vmax, None)
+            return _force_core(p, vmax, None)[:6]
 
         @partial(jax.jit, static_argnums=())
         def phase_force_refresh(p: Particles, vmax, tree_in):
-            return _force_core(p, vmax, tree_in)
+            return _force_core(p, vmax, tree_in)[:6]
+
+        phase_force_record = None
+        phase_force_lists = None
+        if use_lists:
+            @partial(jax.jit, static_argnums=())
+            def phase_force_record(p: Particles, vmax, skin):
+                return _force_core(p, vmax, None, skin=skin, record=True)
+
+            @partial(jax.jit, static_argnums=())
+            def phase_force_lists(p: Particles, vmax, tree_in, lists_in):
+                return _force_core(p, vmax, tree_in, lists_in=lists_in)
 
         sph_params = self._sph_params() if self._has_gas() else None
 
@@ -601,7 +705,8 @@ class Simulation:
 
         return (phase_force, phase_force_refresh,
                 phase_veldisp if cfg.VelDispOn else None,
-                phase_gas if sph_params is not None else None, phase_finish)
+                phase_gas if sph_params is not None else None, phase_finish,
+                phase_force_record, phase_force_lists)
 
     def _sidm_params_for_phased(self):
         from .ops.sidm import SidmParams
@@ -639,9 +744,16 @@ class Simulation:
         if getattr(self, "_phases", None) is None:
             self._phases = self._build_phases()
             self._tree_cache = None
+            self._lists_cache = None
             self._refresh_left = 0
+            self._disp_rate = 0.0
+            self._steps_since_build = 0
+            self._skin_now = 0.0
+            self._lists_disabled = False
+            self._sidm_cands = None
+            self._sidm_lists_disabled = False
         (phase_force, phase_force_refresh, phase_veldisp, phase_gas,
-         phase_finish) = self._phases
+         phase_finish, phase_force_record, phase_force_lists) = self._phases
         key = step_key(self.root_key,
                        0x7FFFFFFF if first else self.step_count)
         vmax = jnp.asarray(self.vmax, self.dtype)
@@ -653,24 +765,75 @@ class Simulation:
         use_fused = (self.cfg.ForceMethod == "tree"
                      and (not self.cfg.PeriodicBoundariesOn
                           or self._use_treepm()))
+        use_lists = (use_fused and phase_force_record is not None
+                     and not self._lists_disabled)
+        refresh_steps = max(int(self.cfg.TreeRefreshSteps), 1)
         self._t_mark = _wallclock.perf_counter()
-        if (use_fused and not first and self._refresh_left > 0
-                and self._tree_cache is not None):
+        reuse = (use_fused and not first and self._refresh_left > 0
+                 and self._tree_cache is not None
+                 and (not use_lists or self._lists_cache is not None))
+        if reuse and use_lists:
+            # cached-list evaluation on refreshed moments
+            p, t_next, active, pos_pred, vel_pred, tree, md = \
+                phase_force_lists(self.particles, vmax, self._tree_cache,
+                                  self._lists_cache)
+            self._refresh_left -= 1
+            self._steps_since_build += 1
+            md = float(md)
+            rate = md / max(self._steps_since_build, 1)
+            self._disp_rate = max(rate, 0.7 * self._disp_rate)
+            # validity: acceptances are MAC-valid while total displacement
+            # stays under skin/2 (target and node motion each shrink pair
+            # distances by at most the max displacement)
+            if md > 0.5 * self._skin_now:
+                self._refresh_left = 0
+        elif reuse:
             p, t_next, active, pos_pred, vel_pred, tree = \
                 phase_force_refresh(
                 self.particles, vmax, self._tree_cache)
             self._refresh_left -= 1
+        elif use_lists:
+            # fresh topology + list recording under an adaptive skin
+            # sized for the refresh period from the observed drift rate
+            self._skin_now = 2.5 * self._disp_rate * refresh_steps
+            p, t_next, active, pos_pred, vel_pred, tree, lists = \
+                phase_force_record(self.particles, vmax,
+                                   jnp.asarray(self._skin_now, self.dtype))
+            ovf = np.asarray(lists.ovf)
+            if int(ovf[1:].sum()):
+                # a capped list is an incomplete force — recompute this
+                # step with the walk engine and stop using lists
+                print(f"WARNING: interaction-list caps overflowed "
+                      f"(level={int(ovf[0])} far={int(ovf[1])} "
+                      f"near={int(ovf[2])} used={int(ovf[3])}); raise "
+                      f"ListFarCap/ListNearCap. Falling back to per-step "
+                      f"walk.", file=_sys.stderr, flush=True)
+                self._lists_disabled = True
+                self._lists_cache = None
+                p, t_next, active, pos_pred, vel_pred, tree = phase_force(
+                    self.particles, vmax)
+            else:
+                self._lists_cache = lists
+            self._refresh_left = refresh_steps - 1
+            self._steps_since_build = 0
+        else:
+            p, t_next, active, pos_pred, vel_pred, tree = phase_force(
+                self.particles, vmax)
+            self._refresh_left = refresh_steps - 1
+        if use_fused and self._refresh_left > 0:
             # drift safety: rebuild early once the conservative guard
             # inflation reaches the deepest cell size (walk cost blows
             # up well before correctness ever could)
             s_deep = float(tree.extent) / (1 << tree.depth)
             if float(tree.drift) > 0.25 * s_deep:
                 self._refresh_left = 0
-        else:
-            p, t_next, active, pos_pred, vel_pred, tree = phase_force(
-                self.particles, vmax)
-            self._refresh_left = max(0, int(self.cfg.TreeRefreshSteps) - 1)
-        self._tree_cache = tree if use_fused else None
+        drift_mode = (use_lists and not self.cfg.ComovingIntegrationOn
+                      and not self._has_gas())
+        if not (reuse and use_lists and drift_mode):
+            # drift-mode list steps return a DRIFT-ADVANCED copy
+            # (advance_tree is absolute from t_ref) — keep the
+            # rebuild-time base cached instead
+            self._tree_cache = tree if use_fused else None
         _mark("force", p.accel)
 
         if phase_veldisp is not None:
@@ -682,7 +845,72 @@ class Simulation:
         if self.cfg.SIDMOn and self.cfg.CrossSection > 0:
             params = self._sidm_params_for_phased()
             box = self.cfg.BoxSize if self.cfg.PeriodicBoundariesOn else 0.0
-            if self.cfg.ForceMethod == "tree":
+            use_sidm_lists = (use_lists and self.cfg.ForceMethod == "tree"
+                              and not getattr(self, "_sidm_lists_disabled",
+                                              False))
+            if use_sidm_lists and (self._sidm_cands is None
+                                   or self._steps_since_build == 0):
+                # candidate lists rebuild with the tree topology (same
+                # skin; shared validity cadence). One jit per config —
+                # the packing would otherwise run op-by-op through the
+                # remote-dispatch tunnel.
+                if getattr(self, "_sidm_record_jit", None) is None:
+                    from functools import partial as _partial
+
+                    from .ops.list_range import \
+                        record_candidates_from_particles
+
+                    @_partial(jax.jit, static_argnames=("params", "box"))
+                    def _rec(p, pos_pred, tree, skin, *, params, box):
+                        return record_candidates_from_particles(
+                            p, pos_pred, tree, skin=skin, params=params,
+                            box=box)
+                    self._sidm_record_jit = _rec
+                cands = self._sidm_record_jit(
+                    p, pos_pred, tree,
+                    jnp.asarray(self._skin_now, self.dtype),
+                    params=params, box=box)
+                covf = np.asarray(cands.ovf)
+                if int(covf[0]) or int(covf[1]):
+                    print(f"WARNING: SIDM candidate caps overflowed "
+                          f"(seg={int(covf[0])} k={int(covf[1])}); "
+                          f"falling back to the range walk.",
+                          file=_sys.stderr, flush=True)
+                    self._sidm_lists_disabled = True
+                    self._sidm_cands = None
+                    use_sidm_lists = False
+                else:
+                    self._sidm_cands = cands
+            if use_sidm_lists and self._sidm_cands is not None:
+                if getattr(self, "_sidm_lists_jit", None) is None:
+                    from functools import partial as _partial
+
+                    from .ops.list_range import sidm_scatter_lists
+
+                    @_partial(jax.jit,
+                              static_argnames=("params", "box"))
+                    def _scat(p, pos_pred, tree, cands, t_next, active,
+                              vmax, key, salt, *, params, box):
+                        return sidm_scatter_lists(
+                            p, pos_pred, tree, cands, t_next, active,
+                            vmax, key, params, salt=salt, box=box)
+                    self._sidm_lists_jit = _scat
+                out = self._sidm_lists_jit(
+                    p, pos_pred, tree, self._sidm_cands, t_next, active,
+                    vmax, key,
+                    jnp.asarray(self.step_count & 0xFFFFFFFF, jnp.uint32),
+                    params=params, box=box)
+                if params.log_events:
+                    p, n_scat, events, viol, ovf_g = out
+                else:
+                    p, n_scat, viol, ovf_g = out
+                if float(viol) > 0:
+                    self._refresh_left = 0   # rebuild lists next step
+                if int(ovf_g) > 0:
+                    print(f"WARNING: gated-target cap exceeded by "
+                          f"{int(ovf_g)}; raise RangeListConfig."
+                          f"gated_frac.", file=_sys.stderr, flush=True)
+            elif self.cfg.ForceMethod == "tree":
                 if self.cfg.TreeWalkEngine == "wq":
                     from .ops.wq_range import sidm_scatter_wq \
                         as sidm_scatter_fused
@@ -691,14 +919,18 @@ class Simulation:
                 out = sidm_scatter_fused(p, pos_pred, tree, t_next, active,
                                          vmax, key, params,
                                          salt=self.step_count, box=box)
+                if params.log_events:
+                    p, n_scat, events = out
+                else:
+                    p, n_scat = out
             else:
                 out = sidm_scatter_tree(p, pos_pred, tree, t_next, active,
                                         vmax, key, params, box=box,
                                         salt=self.step_count)
-            if params.log_events:
-                p, n_scat, events = out
-            else:
-                p, n_scat = out
+                if params.log_events:
+                    p, n_scat, events = out
+                else:
+                    p, n_scat = out
             _mark("sidm", n_scat)
 
         if phase_gas is not None:
