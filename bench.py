@@ -24,7 +24,10 @@ import numpy as np
 CPU_REFERENCE_PART_STEPS_PER_SEC = 1.5e5
 
 N = int(os.environ.get("BENCH_N", 1_000_000))
-STEPS = int(os.environ.get("BENCH_STEPS", 5))
+STEPS = int(os.environ.get("BENCH_STEPS", 8))
+# one full lazy-rebuild cadence: STEPS covers (K-1) cached-list steps +
+# 1 rebuild step, so the measured window is the honest amortized cost
+REFRESH = int(os.environ.get("BENCH_REFRESH", 8))
 
 
 def main():
@@ -47,6 +50,7 @@ def main():
         MaxSizeTimestep=0.1, TimeBegin=0.0, TimeMax=500.0,
         SofteningHalo=0.3, SofteningHaloMaxPhys=0.3,
         DesNumNgb=30, MaxNumNgbDeviation=2,
+        TreeRefreshSteps=REFRESH,
         ReflectionBoundary=1114.35,
         UnitLength_in_cm=3.085678e21, UnitMass_in_g=1.989e43,
         UnitVelocity_in_cm_per_s=1e5)

@@ -38,17 +38,25 @@ def force(out):
     float(leaves[-1].ravel()[0].astype(jnp.float32))
 
 
-def timeit(label, fn, *a, reps=REPS):
+def timeit(label, fn, *a, reps=REPS, keep=True):
     t0 = time.time()
     out = fn(*a)
     force(out)
     tc = time.time() - t0
+    if not keep:
+        del out   # GB-scale results: keeping the old one across a rep
+        out = None  # would double the footprint (mat stream)
     t0 = time.time()
     for _ in range(reps):
-        force(fn(*a))
+        o = fn(*a)
+        force(o)
+        del o
     dt = (time.time() - t0) / reps
     print(f"{label:<44s} {dt*1e3:10.1f} ms   (compile+1st {tc:.1f}s)",
           flush=True)
+    if not keep:
+        out = fn(*a)
+        force(out)
     return out, dt
 
 
@@ -87,16 +95,20 @@ def main():
     tree, t_build = timeit("tree build", build, pos, mass, eps, valid)
 
     cfg = ff.FusedConfig()
-    lcfg = lf.ListConfig()
+    lcfg = lf.ListConfig(materialize=("--mat" in sys.argv and not TREEPM),
+                         mat_cap=384)
 
     def rec(tree):
         return lf.record_lists(tree, old_acc[tree.perm],
                                valid[tree.perm], theta=0.5,
                                use_relative=True,
                                err_tol_force_acc=0.005, cfg=cfg,
-                               lcfg=lcfg, skin=0.5, pbc=pbc)
+                               lcfg=lcfg, skin=0.5, pbc=pbc,
+                               vel=jnp.asarray(vel, jnp.float32),
+                               t_now=0.0)
 
-    lists, t_rec = timeit("record_lists (skin=0.5)", rec, tree)
+    lists, t_rec = timeit("record_lists (skin=0.5)", rec, tree,
+                          keep=not lcfg.materialize)
     nf = np.asarray(lists.nf)
     nn = np.asarray(lists.nn)
     print(f"  ovf={np.asarray(lists.ovf)} "
@@ -105,7 +117,7 @@ def main():
           f"ngroups={nf.shape[0]}", flush=True)
 
     def ev(tree, lists):
-        return lf.eval_lists(tree, lists, mass, eps, cfg=cfg, lcfg=lcfg,
+        return lf.eval_lists(tree, lists, mass, eps, cfg=cfg, lcfg=lcfg, t_now=0.0,
                              need_pot=False, pbc=pbc)
 
     _, t_ev = timeit("eval_lists (far+near)", ev, tree, lists)
@@ -132,11 +144,21 @@ def main():
 
     def refresh(tree, p):
         t2 = refresh_octree(tree, p, mass, eps, valid, box=0.0)
-        return lf.eval_lists(t2, lists, mass, eps, cfg=cfg, lcfg=lcfg,
+        return lf.eval_lists(t2, lists, mass, eps, cfg=cfg, lcfg=lcfg, t_now=0.0,
                              need_pot=False, pbc=pbc)
 
     _, t_step = timeit("refresh + eval (per-step path)", refresh, tree,
                        pos)
+
+    if lcfg.materialize:
+        @jax.jit
+        def drift_step(tree, p, lists):
+            t2 = lf.advance_tree(tree, lists, p, 0.01)
+            return lf.eval_lists(t2, lists, mass, eps, cfg=cfg,
+                                 lcfg=lcfg, t_now=0.01, need_pot=False,
+                                 pbc=pbc)
+        _, t_drift = timeit("advance + MAT eval (drift per-step path)",
+                            drift_step, tree, pos, lists)
 
     if TREEPM:
         from sidm_tpu.ops.pm import pm_accel_free

@@ -118,6 +118,13 @@ class CpuLog:
         self.cpu[bucket] += seconds
         self.cpu["Total"] += seconds if bucket != "Total" else 0.0
 
+    def add_sub(self, bucket: str, seconds: float):
+        """Informational sub-bucket (TreeWalk/TreeConstruction/...): the
+        time is already counted in a primary bucket, so Total is not
+        bumped (mirrors run.c:250-285 where Total is measured, not
+        summed)."""
+        self.cpu[bucket] += seconds
+
     def write(self, step: int, time: float, n_tasks: int = 1):
         self.f.write(f"Step {step}, Time: {time:g}, CPUs: {n_tasks}\n")
         self.f.write(" ".join(f"{self.cpu[b]:.2f}" for b in self.BUCKETS) + "\n")

@@ -49,3 +49,14 @@ def read_restart(path_base: str) -> Tuple[Particles, dict]:
 def stopfile_present(output_dir: str) -> bool:
     """run.c:152-160: presence of <OutputDir>/stop interrupts the run."""
     return os.path.exists(os.path.join(output_dir, "stop"))
+
+
+def read_scatter_log(path: str):
+    """Decode a sct_XXX file (SCATTERLOG, struct scatlog sidm.h:1-10).
+
+    Returns (time, id1, id2, rest) where ids are exact int32 and rest is
+    the (n_events, 17) float block [h1, h2, x1(3), x2(3), v1(3), v2(3),
+    dv(3)]."""
+    raw = np.fromfile(path, dtype=np.float32).reshape(-1, 20)
+    ids = raw[:, 1:3].view(np.int32)
+    return raw[:, 0], ids[:, 0], ids[:, 1], raw[:, 3:]

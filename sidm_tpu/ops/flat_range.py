@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..kernels import sph_kernel
-from ..sidm_common import sigma_v_product
+from ..sidm_common import sigma_v_product, salt_u32 as _salt_u32
 from .fused_force import IMAX, default_depth, make_windows
 from .flat_force import NEAR_U, FlatConfig, _emit2, _emit_units
 from .sidm import SidmParams
@@ -435,7 +435,7 @@ def sidm_scatter_flat(p, pos_pred, tree: Octree, time, active, vmax, key,
 
     ptot, ncnt, bestk, bestj, ovf, n_seg = _flat_range_eval(
         rt, trA, trB, trI, geom, tree.extent,
-        jnp.uint32(salt & 0xFFFFFFFF), time, sigma_co, cfg, depth,
+        _salt_u32(salt), time, sigma_co, cfg, depth,
         int(n), int(ngp), params)
 
     inv = jnp.zeros(n, jnp.int32).at[tree.perm].set(

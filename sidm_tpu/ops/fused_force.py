@@ -221,14 +221,29 @@ def pack_tree(tree: Octree) -> FusedTree:
             v = jnp.concatenate([v, jnp.full(np16 * 16 - n, fill, dtype)])
         return v.reshape(np16, 16)
 
-    part16 = jnp.concatenate([
-        plane(tree.pos_s[:, 0]), plane(tree.pos_s[:, 1]),
-        plane(tree.pos_s[:, 2]), plane(tree.mass_s), plane(tree.eps_s),
-        jnp.zeros((np16, 48), dtype)], axis=1)
+    part16 = pack_part16(tree)
     levels_tr = tuple(tree.trq[offs[l]:offs[l + 1]]
                       for l in range(depth + 1))
     return FusedTree(levels=tuple(levels), part16=part16,
                      n_levels=tuple(tree.n_nodes), levels_tr=levels_tr)
+
+
+def pack_part16(tree: Octree):
+    """Just the PLANAR-by-16 particle rows of pack_tree (the near pass's
+    only per-step table on the materialized list path)."""
+    n = tree.pos_s.shape[0]
+    dtype = tree.pos_s.dtype
+    np16 = -(-n // 16)
+
+    def plane(v, fill=0.0):
+        if np16 * 16 != n:
+            v = jnp.concatenate([v, jnp.full(np16 * 16 - n, fill, dtype)])
+        return v.reshape(np16, 16)
+
+    return jnp.concatenate([
+        plane(tree.pos_s[:, 0]), plane(tree.pos_s[:, 1]),
+        plane(tree.pos_s[:, 2]), plane(tree.mass_s), plane(tree.eps_s),
+        jnp.zeros((np16, 48), dtype)], axis=1)
 
 
 def _w_schedule(cfg: FusedConfig, depth: int, n: int, theta: float,

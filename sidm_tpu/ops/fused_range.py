@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..kernels import sph_kernel
-from ..sidm_common import sigma_v_product
+from ..sidm_common import sigma_v_product, salt_u32 as _salt_u32
 from .fused_force import (IMAX, FusedConfig, _expand_open, _w_schedule,
                           compact_plane, make_windows)
 from .sidm import SidmParams
@@ -462,10 +462,24 @@ def make_gated_windows(keys_s, hs, n: int, G: int, depth: int,
 def sidm_scatter_fused(p, pos_pred, tree: Octree, time, active, vmax, key,
                        params: SidmParams, cfg: Optional[FusedConfig] = None,
                        salt: int = 0, return_info: bool = False,
-                       box: float = 0.0):
+                       box: float = 0.0, shard: Optional[tuple] = None,
+                       axis_name=None):
     """Fused-frontier DSMC pass: drop-in for sidm_scatter_tree. box > 0
     selects minimum-image distances (periodic runs; the tree must be
-    built on the box cube)."""
+    built on the box cube).
+
+    shard: optional ``(shard_index, n_shards)`` — the gated target-group
+    blocks are strided round-robin across shards and ONLY the local slice
+    is walked (the multi-chip proposal decomposition replacing the
+    reference's 3-phase exported-particle handshake, sidm.c:204-603: each
+    rank proposes for its own targets, then the per-target proposal
+    fields are combined globally). Requires ``axis_name`` (the shard_map
+    mesh axis): the partial (ptot, cnt, bestk, bestj) arrays are combined
+    with one psum/pmax round — each gated target lives in exactly one
+    group, hence on exactly one shard, so the fills (0, 0, -inf, -1)
+    combine exactly. The scatter decision + conflict resolution + kicks
+    then run replicated (identical RNG on every device -> identical
+    kicks, deterministic under any device count)."""
     from .sidm_tree import _tree_sidm_finish, _tree_sidm_prep
 
     # group_block=32: measured 5.6/5.7/6.7/8.9 s per SIDM pass at
@@ -483,6 +497,31 @@ def sidm_scatter_fused(p, pos_pred, tree: Octree, time, active, vmax, key,
 
     pidx, gvalid, ngp, GB, NB = make_gated_windows(
         tree.keys_s, hs, n, G, depth, cfg.break_level, cfg.group_block)
+
+    if shard is not None:
+        sidx, nsh = shard
+        # pad the block axis to a multiple of n_shards, then stride
+        # (blocks are ordered dense-first; striding balances work — the
+        # same static balancing as fused_gravity_tree's shard mode)
+        nb_pad = -(-NB // nsh) * nsh
+        if nb_pad != NB:
+            extra = (nb_pad - NB) * GB
+            pidx = jnp.concatenate(
+                [pidx, jnp.zeros((extra, G), pidx.dtype)])
+            gvalid = jnp.concatenate(
+                [gvalid, jnp.zeros((extra, G), bool)])
+            NB, ngp = nb_pad, nb_pad * GB
+        ngd = (NB // nsh) * GB
+        sidx = jnp.asarray(sidx, jnp.int32)
+        pidx = lax.dynamic_slice(
+            pidx.reshape(NB // nsh, nsh, GB * G),
+            (jnp.int32(0), sidx, jnp.int32(0)),
+            (NB // nsh, 1, GB * G)).reshape(ngd, G)
+        gvalid = lax.dynamic_slice(
+            gvalid.reshape(NB // nsh, nsh, GB * G),
+            (jnp.int32(0), sidx, jnp.int32(0)),
+            (NB // nsh, 1, GB * G)).reshape(ngd, G)
+        ngp, NB = ngd, NB // nsh
 
     gt = tree.pos_s[pidx]
     gv = jnp.where(gvalid[..., None], rows[pidx][..., 3:6], 0.0)
@@ -512,7 +551,7 @@ def sidm_scatter_fused(p, pos_pred, tree: Octree, time, active, vmax, key,
 
     ptot, ncnt, bestk, bestj, ovf = _range_eval(
         rt, gt, gv, gh, gdt, gty, gidx, glo, ghi, pad, tree.extent,
-        tree.origin, jnp.uint32(salt & 0xFFFFFFFF), time, sigma_co, cfg,
+        tree.origin, _salt_u32(salt), time, sigma_co, cfg,
         depth, n, params, float(box))
 
     inv = jnp.zeros(n, jnp.int32).at[tree.perm].set(
@@ -523,9 +562,23 @@ def sidm_scatter_fused(p, pos_pred, tree: Octree, time, active, vmax, key,
         buf = jnp.full((n + 1,), fill, x.dtype)
         return buf.at[flat_idx].set(x.reshape(-1))[:n]
 
+    ptot_f = unflat(ptot, 0.0)
+    bestk_f = unflat(bestk, -jnp.inf)
+    ncnt_f = unflat(ncnt, 0)
+    bestj_f = unflat(bestj, -1)
+    if axis_name is not None:
+        # combine the shard-partial proposal fields: each gated target
+        # lives in exactly one group window, hence on exactly one shard
+        # — the other shards contribute the fills (0 / -inf / 0 / -1),
+        # so sum/max recover the owner's values exactly
+        ptot_f = lax.psum(ptot_f, axis_name)
+        bestk_f = lax.pmax(bestk_f, axis_name)
+        ncnt_f = lax.psum(ncnt_f, axis_name)
+        bestj_f = lax.psum(bestj_f + 1, axis_name) - 1
+
     out = _tree_sidm_finish(
-        p, pos_pred, tree.perm, inv, unflat(ptot, 0.0),
-        unflat(bestk, -jnp.inf), unflat(ncnt, 0), unflat(bestj, -1),
+        p, pos_pred, tree.perm, inv, ptot_f,
+        bestk_f, ncnt_f, bestj_f,
         time, active, scan, p_max, rand, vmax, key, params,
         params.log_events)
     p2, n_scat, ev = out

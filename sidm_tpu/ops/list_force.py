@@ -47,8 +47,8 @@ from jax import lax
 from .fused_force import (IMAX, FusedConfig, FusedTree, _classify,
                           _expand_open, _far_tile, _far_tile_pbc,
                           _near_tile, _w_schedule, compact_plane,
-                          make_windows, pack_tree, _CNT, _CSTART, _CCNT,
-                          _NSTART, _PREC_MAP)
+                          make_windows, pack_part16, pack_tree, _CNT,
+                          _CSTART, _CCNT, _NSTART, _PREC_MAP)
 from .tree import Octree, level_offsets
 
 
@@ -69,6 +69,15 @@ class ListConfig(NamedTuple):
                               # per-block live bounds are tight (each pass
                               # has its own order; results are scattered
                               # back through pidx either way)
+    materialize: bool = False # record the far NODE ROWS themselves in
+                              # item-major order (sequential streaming at
+                              # eval instead of 64-byte random gathers);
+                              # drift-mode only (node COMs advance by the
+                              # materialized vcom, moments stay frozen)
+    mat_cap: int = 256        # max materialized far items; one item =
+                              # (far_block, fc, 16) f32 = far_block*fc*64
+                              # bytes. Auto-resized from telemetry on
+                              # overflow like the other caps.
 
 
 class InteractionLists(NamedTuple):
@@ -79,8 +88,8 @@ class InteractionLists(NamedTuple):
     pidx: jax.Array       # (ngp, G) int32 sorted-order target index
     gvalid: jax.Array     # (ngp, G) bool
     pos_ref: jax.Array    # (n, 3) sorted positions at record time
-    ovf: jax.Array        # (4,) int32: [level-cap, far_cap, near_cap,
-                          #  used-cap] drops
+    ovf: jax.Array        # (5,) int32: [level-cap, far_cap, near_cap,
+                          #  used-cap, mat-item] drops
     skin: jax.Array       # () skin the record used
     vcom: jax.Array       # (M, 3) node mass-weighted mean velocity at
                           # record — the reference's node drift velocity
@@ -89,6 +98,14 @@ class InteractionLists(NamedTuple):
     src: jax.Array        # (used_cap,) int32 flat-node id per compact
                           # row; far entries are REMAPPED to compact ids
                           # (dead = used_cap -> the appended zero row)
+    need: jax.Array       # (4,) int32 [max far entries/group, max near
+                          # entries/group, distinct used nodes, far
+                          # items] — uncapped demand, for auto-sizing
+                          # the caps after an overflow
+    matf: Optional[jax.Array] = None
+                          # (mat_cap, far_block, fc, 16) f32 materialized
+                          # far node rows in item-major schedule order
+                          # (lcfg.materialize); slots 4:7 = node vcom
 
 
 def flat_tables(ftree: FusedTree):
@@ -214,6 +231,8 @@ def _record(ftree: FusedTree, glo, ghi, oac, extent, drift,
     near = jnp.full((ng, LN), IMAX, jnp.int32)
     nf = jnp.zeros(ng, jnp.int32)
     nn = jnp.zeros(ng, jnp.int32)
+    needf = jnp.zeros(ng, jnp.int32)   # uncapped per-group demand
+    needn = jnp.zeros(ng, jnp.int32)
     ovf_l = jnp.zeros((), jnp.int32)
     ovf_f = jnp.zeros((), jnp.int32)
     ovf_n = jnp.zeros((), jnp.int32)
@@ -237,8 +256,9 @@ def _record(ftree: FusedTree, glo, ghi, oac, extent, drift,
     if depth - l_scan < 2:
         l_scan = depth
 
-    def do_level(l, fids, live_w, far, nf, near, nn, ovf_l, ovf_f, ovf_n,
-                 ovf_open, tbl=None, s_l=None, nl=None, base=None):
+    def do_level(l, fids, live_w, far, nf, near, nn, needf, needn, ovf_l,
+                 ovf_f, ovf_n, ovf_open, tbl=None, s_l=None, nl=None,
+                 base=None):
         W = ws[min(l, depth)]
         fark, segk, openk, bigk = _walk_level_keys(
             fids, live_w, ftree.levels[l] if tbl is None else tbl,
@@ -252,21 +272,23 @@ def _record(ftree: FusedTree, glo, ghi, oac, extent, drift,
         LC = min(lcfg.lvl_cap, W)
         farp = compact_plane(fark)[:, :LC]
         segp = compact_plane(segk)[:, :LC]
+        nlive_f = jnp.sum((fark != IMAX).astype(jnp.int32), axis=1)
+        nlive_n = jnp.sum((segk != IMAX).astype(jnp.int32), axis=1)
+        needf = needf + nlive_f
+        needn = needn + nlive_n
         # level-cap drops beyond LC
-        ovf_l = ovf_l + jnp.sum(
-            jnp.maximum(jnp.sum((fark != IMAX).astype(jnp.int32), axis=1)
-                        - LC, 0), dtype=jnp.int32) + jnp.sum(
-            jnp.maximum(jnp.sum((segk != IMAX).astype(jnp.int32), axis=1)
-                        - LC, 0), dtype=jnp.int32)
+        ovf_l = ovf_l + jnp.sum(jnp.maximum(nlive_f - LC, 0),
+                                dtype=jnp.int32) \
+            + jnp.sum(jnp.maximum(nlive_n - LC, 0), dtype=jnp.int32)
         far, nf, ovf_f = _append_plane(far, nf, ovf_f, farp, LC)
         near, nn, ovf_n = _append_plane(near, nn, ovf_n, segp, LC)
-        return fark, segk, openk, bigk, far, nf, near, nn, ovf_l, ovf_f, \
-            ovf_n
+        return fark, segk, openk, bigk, far, nf, near, nn, needf, needn, \
+            ovf_l, ovf_f, ovf_n
 
     for l in range(l0, min(l_scan, depth)):
-        (_, _, openk, _, far, nf, near, nn, ovf_l, ovf_f, ovf_n) = \
-            do_level(l, fids, live_w, far, nf, near, nn, ovf_l, ovf_f,
-                     ovf_n, ovf_open)
+        (_, _, openk, _, far, nf, near, nn, needf, needn, ovf_l, ovf_f,
+         ovf_n) = do_level(l, fids, live_w, far, nf, near, nn, needf,
+                           needn, ovf_l, ovf_f, ovf_n, ovf_open)
         fids, live_w, ovf_open, _ = _expand_open(
             openk, ovf_open, Wn=ws[l + 1], cfg=cfg, NB=NB, GB=GB, ng=ng)
 
@@ -286,30 +308,31 @@ def _record(ftree: FusedTree, glo, ghi, oac, extent, drift,
                            for l in range(l_scan, depth)])
 
         def scan_body(carry, xs):
-            (fids, live_w, far, nf, near, nn, ovf_l, ovf_f, ovf_n,
-             ovf_open) = carry
+            (fids, live_w, far, nf, near, nn, needf, needn, ovf_l, ovf_f,
+             ovf_n, ovf_open) = carry
             tbl, s_l, nl, base = xs
-            (_, _, openk, _, far, nf, near, nn, ovf_l, ovf_f, ovf_n) = \
-                do_level(l_scan, fids, live_w, far, nf, near, nn, ovf_l,
-                         ovf_f, ovf_n, ovf_open, tbl=tbl, s_l=s_l, nl=nl,
-                         base=base)
+            (_, _, openk, _, far, nf, near, nn, needf, needn, ovf_l,
+             ovf_f, ovf_n) = do_level(
+                l_scan, fids, live_w, far, nf, near, nn, needf, needn,
+                ovf_l, ovf_f, ovf_n, ovf_open, tbl=tbl, s_l=s_l, nl=nl,
+                base=base)
             fids, live_w, ovf_open, _ = _expand_open(
                 openk, ovf_open, Wn=W, cfg=cfg, NB=NB, GB=GB, ng=ng)
-            return (fids, live_w, far, nf, near, nn, ovf_l, ovf_f, ovf_n,
-                    ovf_open), None
+            return (fids, live_w, far, nf, near, nn, needf, needn, ovf_l,
+                    ovf_f, ovf_n, ovf_open), None
 
-        carry = (fids, live_w, far, nf, near, nn, ovf_l, ovf_f, ovf_n,
-                 ovf_open)
+        carry = (fids, live_w, far, nf, near, nn, needf, needn, ovf_l,
+                 ovf_f, ovf_n, ovf_open)
         carry, _ = lax.scan(scan_body, carry, (tbls, sls, nls, bases))
-        (fids, live_w, far, nf, near, nn, ovf_l, ovf_f, ovf_n,
-         ovf_open) = carry
+        (fids, live_w, far, nf, near, nn, needf, needn, ovf_l, ovf_f,
+         ovf_n, ovf_open) = carry
 
     # last level: far/seg keys plus overfull-cell expansion into 16-chunks
     W = ws[depth]
     tbl = ftree.levels[depth]
-    fark, segk, openk, bigk, far, nf, near, nn, ovf_l, ovf_f, ovf_n = \
-        do_level(depth, fids, live_w, far, nf, near, nn, ovf_l, ovf_f,
-                 ovf_n, ovf_open)
+    (fark, segk, openk, bigk, far, nf, near, nn, needf, needn, ovf_l,
+     ovf_f, ovf_n) = do_level(depth, fids, live_w, far, nf, near, nn,
+                              needf, needn, ovf_l, ovf_f, ovf_n, ovf_open)
     bid = compact_plane(bigk)[:, :cfg.big_cap]
     bval = bid != IMAX
     brow = tbl[jnp.clip(bid, 0, tbl.shape[0] - 1)]
@@ -321,15 +344,18 @@ def _record(ftree: FusedTree, glo, ghi, oac, extent, drift,
     bkey = jnp.where(ccn > 0, cst * 32 + ccn,
                      IMAX).reshape(ng, cfg.big_cap * cfg.big_chunks)
     bkey = compact_plane(bkey)
-    near, nn, ovf_n = _append_plane(near, nn, ovf_n, bkey, bkey.shape[1])
     n_big = jnp.sum((bigk != IMAX).astype(jnp.int32), axis=1)
+    needn = (needn + jnp.sum((bkey != IMAX).astype(jnp.int32), axis=1)
+             + jnp.maximum(n_big - cfg.big_cap, 0) * cfg.big_chunks)
+    near, nn, ovf_n = _append_plane(near, nn, ovf_n, bkey, bkey.shape[1])
     ovf_l = ovf_l + jnp.sum(jnp.maximum(n_big - cfg.big_cap, 0),
                             dtype=jnp.int32) \
         + jnp.sum(jnp.maximum(bcnt - 16 * cfg.big_chunks, 0),
                   dtype=jnp.int32) + ovf_open[0]
 
     ovf = jnp.stack([ovf_l, ovf_f, ovf_n])
-    return far, near, nf, nn, ovf
+    need = jnp.stack([jnp.max(needf), jnp.max(needn)])
+    return far, near, nf, nn, ovf, need
 
 
 def record_lists(tree: Octree, old_acc_sorted, valid_sorted, *,
@@ -378,7 +404,7 @@ def record_lists(tree: Octree, old_acc_sorted, valid_sorted, *,
     oac = jnp.min(jnp.where(gvalid & (goac > 0), goac, big), axis=1)
     oac = jnp.where(jnp.any(gvalid & (goac > 0), axis=1), oac, 0.0)
 
-    far, near, nf, nn, ovf = _record(
+    far, near, nf, nn, ovf, need = _record(
         ftree, glo, ghi, oac, tree.extent, tree.drift, float(theta),
         bool(use_relative), cfg, lcfg, depth, int(n),
         tuple(float(v) for v in pbc) if pbc is not None else None)
@@ -405,10 +431,50 @@ def record_lists(tree: Octree, old_acc_sorted, valid_sorted, *,
         vcom = node_velocities(tree, vel)
     else:
         vcom = jnp.zeros_like(tree.mac_rows[:, 0:3])
+    need = jnp.concatenate([need, n_used[None].astype(jnp.int32)])
+
+    matf = None
+    ni_f = jnp.zeros((), jnp.int32)
+    if lcfg.materialize:
+        # stream-materialize the far node rows in item-major schedule
+        # order (sequential reads at every eval of this record period)
+        tbl_all, _ = flat_tables(ftree)
+        ctbl = jnp.concatenate(
+            [tbl_all[src], jnp.zeros((1, 16), tbl_all.dtype)])
+        ctbl = ctbl.at[:-1, 4:7].set(vcom[src]).at[:, 7].set(0.0)
+        of, _, bi_f, ci_f, ni_f, GBf, _ = _far_schedule(
+            nf, lcfg, ngp, lcfg.far_cap)
+        far_s = far_c[of]
+        FC = lcfg.fc
+        cap_i = lcfg.mat_cap
+
+        def mat_item(state):
+            i, mat = state
+            g0 = bi_f[i] * GBf
+            ids = lax.dynamic_slice(far_s, (g0, ci_f[i] * FC), (GBf, FC))
+            rows = ctbl[ids]
+            # (GBf, FC, 16) -> (GBf, FC//8, 128): 8 node rows per
+            # 128-lane row, so the stored buffer tiles (8, 128) with no
+            # lane padding (a 16-wide minor dim pads 8x in HBM)
+            mat = lax.dynamic_update_slice(
+                mat, rows.reshape(GBf, FC // 8, 128)[None],
+                (jnp.minimum(i, cap_i - 1), jnp.int32(0), jnp.int32(0),
+                 jnp.int32(0)))
+            return i + 1, mat
+
+        mat0 = jnp.zeros((cap_i, GBf, FC // 8, 128), dtype)
+        _, matf = lax.while_loop(
+            lambda s: s[0] < jnp.minimum(ni_f, cap_i), mat_item,
+            (jnp.int32(0), mat0))
+    ovf = jnp.concatenate(
+        [ovf, jnp.maximum(ni_f - lcfg.mat_cap, 0)[None]
+         .astype(jnp.int32)])
+    need = jnp.concatenate([need, ni_f[None].astype(jnp.int32)])
     return InteractionLists(far=far_c, near=near, nf=nf, nn=nn, pidx=pidx,
                             gvalid=gvalid, pos_ref=tree.pos_s, ovf=ovf,
                             skin=skin, vcom=vcom,
-                            t_ref=jnp.asarray(t_now, dtype), src=src)
+                            t_ref=jnp.asarray(t_now, dtype), src=src,
+                            need=need, matf=matf)
 
 
 def max_displacement(lists: InteractionLists, pos_sorted):
@@ -466,10 +532,31 @@ def _item_schedule(counts_blocked, chunk, cap):
     return bi, ci, jnp.minimum(total, cap)
 
 
+def _far_schedule(nf, lcfg: ListConfig, ng, far_width):
+    """Deterministic far-pass work schedule shared by the eval and the
+    materializer: length-sorted group order + flattened (block, chunk)
+    items. Must be identical in both (the materialized stream is laid
+    out item-major in exactly this order)."""
+    FC = lcfg.fc
+    gb = min(lcfg.far_block, ng)
+    while ng % gb:
+        gb -= 1
+    NBf = ng // gb
+    if lcfg.sort_eval:
+        of = jnp.argsort(-nf)
+    else:
+        of = jnp.arange(ng, dtype=jnp.int32)
+    inv_f = jnp.zeros(ng, jnp.int32).at[of].set(
+        jnp.arange(ng, dtype=jnp.int32))
+    bi, ci, ni = _item_schedule(nf[of].reshape(NBf, gb), FC,
+                                NBf * (far_width // FC + 1))
+    return of, inv_f, bi, ci, ni, gb, NBf
+
+
 @partial(jax.jit, static_argnames=("cfg", "lcfg", "need_pot", "pbc"))
 def _eval(tbl_flat, tr_flat, part16, far, near, nf, nn, gtargets, geps,
           gvalid, cfg: FusedConfig, lcfg: ListConfig,
-          need_pot: bool = True, pbc=None):
+          need_pot: bool = True, pbc=None, matf=None, t_rel=None):
     """Per-step force from recorded lists: dense chunked far + near.
 
     Each pass runs over its OWN length-sorted group order (sort_eval) so
@@ -504,26 +591,38 @@ def _eval(tbl_flat, tr_flat, part16, far, near, nf, nn, gtargets, geps,
         return o, inv
 
     # ---- far pass
-    GBf, NBf = block_div(lcfg.far_block)
-    of, inv_f = order(nf)
+    of, inv_f, bi_f, ci_f, ni_f, GBf, NBf = _far_schedule(
+        nf, lcfg, ng, far.shape[1])
     far_s = far[of]
     xc_s, te_s, xr_s, gc_s = xc[of], te[of], gtargets[of], gc[of]
-    bi_f, ci_f, ni_f = _item_schedule(nf[of].reshape(NBf, GBf), FC,
-                                      NBf * (far.shape[1] // FC + 1))
 
     def far_item(state):
         i, acc, pot = state
         bi, ci = bi_f[i], ci_f[i]
         g0 = bi * GBf
-        ids = lax.dynamic_slice(far_s, (g0, ci * FC), (GBf, FC))
-        # ids are COMPACT-table ranks; dead entries point at the zero
-        # row (mass 0 contributes nothing in every tile)
-        rows = tbl_flat[ids]
+        if matf is not None:
+            # MATERIALIZED stream: item-major node rows recorded once per
+            # rebuild (sequential HBM reads instead of 64-byte random
+            # gathers — measured 35-125M rows/s gather vs full-bandwidth
+            # streaming). Slots 4:7 carry the node drift velocity: the
+            # forcetree.c:941-948 node prediction s + vs*dt applied
+            # in-tile.
+            rows = lax.dynamic_slice(
+                matf, (i, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+                (1, GBf, FC // 8, 128))[0].reshape(GBf, FC, 16)
+            rows = rows.at[..., 0:3].add(rows[..., 4:7] * t_rel)
+        else:
+            ids = lax.dynamic_slice(far_s, (g0, ci * FC), (GBf, FC))
+            # ids are COMPACT-table ranks; dead entries point at the zero
+            # row (mass 0 contributes nothing in every tile)
+            rows = tbl_flat[ids]
         teb = lax.dynamic_slice(te_s, (g0, 0), (GBf, G))
         if pbc is not None:
+            ids = lax.dynamic_slice(far_s, (g0, ci * FC), (GBf, FC))
+            rows_p = tbl_flat[ids]
             trr = tr_flat[ids]
             xrb = lax.dynamic_slice(xr_s, (g0, 0, 0), (GBf, G, 3))
-            da, dp = _far_tile_pbc(rows, trr, xrb, teb, pbc, need_pot)
+            da, dp = _far_tile_pbc(rows_p, trr, xrb, teb, pbc, need_pot)
         else:
             xcb = lax.dynamic_slice(xc_s, (g0, 0, 0), (GBf, G, 3))
             gcb = lax.dynamic_slice(gc_s, (g0, 0), (GBf, 3))
@@ -577,33 +676,51 @@ def _eval(tbl_flat, tr_flat, part16, far, near, nf, nn, gtargets, geps,
 def eval_lists(tree: Octree, lists: InteractionLists, mass, eps, *,
                cfg: Optional[FusedConfig] = None,
                lcfg: Optional[ListConfig] = None,
-               need_pot: bool = True, pbc=None):
+               need_pot: bool = True, pbc=None, t_now=None):
     """Force/potential for all particles from recorded lists against the
     CURRENT tree moments (tree = refresh_octree(...) of the recording
     topology). mass/eps in ORIGINAL order; returns (acc, pot) in original
-    order, with the same postprocessing as fused_gravity_tree."""
+    order, with the same postprocessing as fused_gravity_tree.
+
+    When ``lists.matf`` is set (lcfg.materialize, drift mode) the far
+    pass streams the recorded node rows and predicts node COMs by
+    vcom*(t_now - t_ref) in-tile — pass ``t_now``."""
     cfg = cfg or FusedConfig()
     lcfg = lcfg or ListConfig()
     n = tree.pos_s.shape[0]
     dtype = tree.pos_s.dtype
     valid = mass > 0
 
-    ftree = pack_tree(tree)
-    tbl_all, tr_all = flat_tables(ftree)
-    # per-step compact gather table: used rows + one zero row (dead id)
-    ctbl = jnp.concatenate(
-        [tbl_all[lists.src], jnp.zeros((1, 16), tbl_all.dtype)])
-    ctr = jnp.concatenate(
-        [tr_all[lists.src], jnp.zeros(1, tr_all.dtype)])
+    use_mat = (lists.matf is not None and pbc is None)
+    if use_mat:
+        # materialized far stream: the per-step node-table repack and the
+        # compact gather table are not needed — only the 16-packed
+        # particle rows for the near pass
+        part16 = pack_part16(tree)
+        ctbl = jnp.zeros((1, 16), dtype)
+        ctr = jnp.zeros(1, dtype)
+        t_rel = (jnp.asarray(t_now, dtype) - lists.t_ref
+                 if t_now is not None else jnp.zeros((), dtype))
+    else:
+        ftree = pack_tree(tree)
+        tbl_all, tr_all = flat_tables(ftree)
+        part16 = ftree.part16
+        # per-step compact gather table: used rows + one zero row
+        ctbl = jnp.concatenate(
+            [tbl_all[lists.src], jnp.zeros((1, 16), tbl_all.dtype)])
+        ctr = jnp.concatenate(
+            [tr_all[lists.src], jnp.zeros(1, tr_all.dtype)])
+        t_rel = jnp.zeros((), dtype)
 
     pidx, gvalid = lists.pidx, lists.gvalid
     gtargets = tree.pos_s[pidx]
     geps = tree.eps_s[pidx]
 
     acc_g, pot_g = _eval(
-        ctbl, ctr, ftree.part16, lists.far, lists.near, lists.nf,
+        ctbl, ctr, part16, lists.far, lists.near, lists.nf,
         lists.nn, gtargets, geps, gvalid, cfg, lcfg, bool(need_pot),
-        tuple(float(v) for v in pbc) if pbc is not None else None)
+        tuple(float(v) for v in pbc) if pbc is not None else None,
+        matf=lists.matf if use_mat else None, t_rel=t_rel)
 
     didx = jnp.where(gvalid, pidx, n).reshape(-1)
     acc_s = jnp.zeros((n + 1, 3), dtype).at[didx].set(

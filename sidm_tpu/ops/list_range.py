@@ -66,6 +66,9 @@ class SidmCandidates(NamedTuple):
     pos_ref: jax.Array    # (n, 3) sorted positions at record
     ovf: jax.Array        # (2,) int32 [segment-plane drops, K drops]
     skin: jax.Array       # ()
+    need: jax.Array       # (2,) int32 [max seg entries/group, max
+                          # candidates/particle] — uncapped demand, for
+                          # auto-sizing seg_cap/k_cap after an overflow
 
 
 def _record_segments(rt: RangeTree, glo, ghi, pad, extent, cfg: FusedConfig,
@@ -85,6 +88,7 @@ def _record_segments(rt: RangeTree, glo, ghi, pad, extent, cfg: FusedConfig,
     LR = rcfg.seg_cap
     near = jnp.full((ng, LR), IMAX, jnp.int32)
     nn = jnp.zeros(ng, jnp.int32)
+    needn = jnp.zeros(ng, jnp.int32)   # uncapped per-group demand
     ovf_n = jnp.zeros((), jnp.int32)
     ovf_open = jnp.zeros(2, jnp.int32)
 
@@ -104,8 +108,8 @@ def _record_segments(rt: RangeTree, glo, ghi, pad, extent, cfg: FusedConfig,
     if depth - l_scan < 2:
         l_scan = depth
 
-    def do_level(l, fids, live_w, near, nn, ovf_n, tbl=None, s_l=None,
-                 nl=None):
+    def do_level(l, fids, live_w, near, nn, needn, ovf_n, tbl=None,
+                 s_l=None, nl=None):
         W = ws[min(l, depth)]
         segk, openk, bigk = _range_level_pass(
             fids, live_w, rt.levels[l] if tbl is None else tbl,
@@ -114,16 +118,16 @@ def _record_segments(rt: RangeTree, glo, ghi, pad, extent, cfg: FusedConfig,
             glo_b, ghi_b, pad_b, W=W, WC=min(cfg.wc, W),
             last=(l >= depth), cfg=cfg, NB=NB, GB=GB, ng=ng, box=box)
         LC = min(rcfg.lvl_cap, W)
+        n_live = jnp.sum((segk != IMAX).astype(jnp.int32), axis=1)
+        needn = needn + n_live
         segp = compact_plane(segk)[:, :LC]
-        ovf_n2 = jnp.sum(
-            jnp.maximum(jnp.sum((segk != IMAX).astype(jnp.int32), axis=1)
-                        - LC, 0), dtype=jnp.int32)
+        ovf_n2 = jnp.sum(jnp.maximum(n_live - LC, 0), dtype=jnp.int32)
         near, nn, ovf_n = _append_plane(near, nn, ovf_n + ovf_n2, segp, LC)
-        return segk, openk, bigk, near, nn, ovf_n
+        return segk, openk, bigk, near, nn, needn, ovf_n
 
     for l in range(l0, min(l_scan, depth)):
-        _, openk, _, near, nn, ovf_n = do_level(l, fids, live_w, near, nn,
-                                                ovf_n)
+        _, openk, _, near, nn, needn, ovf_n = do_level(
+            l, fids, live_w, near, nn, needn, ovf_n)
         fids, live_w, ovf_open, _ = _expand_open(
             openk, ovf_open, Wn=ws[l + 1], cfg=cfg, NB=NB, GB=GB, ng=ng)
 
@@ -141,23 +145,23 @@ def _record_segments(rt: RangeTree, glo, ghi, pad, extent, cfg: FusedConfig,
                          for l in range(l_scan, depth)])
 
         def scan_body(carry, xs):
-            fids, live_w, near, nn, ovf_n, ovf_open = carry
+            fids, live_w, near, nn, needn, ovf_n, ovf_open = carry
             tbl, s_l, nl = xs
-            _, openk, _, near, nn, ovf_n = do_level(
-                l_scan, fids, live_w, near, nn, ovf_n, tbl=tbl, s_l=s_l,
-                nl=nl)
+            _, openk, _, near, nn, needn, ovf_n = do_level(
+                l_scan, fids, live_w, near, nn, needn, ovf_n, tbl=tbl,
+                s_l=s_l, nl=nl)
             fids, live_w, ovf_open, _ = _expand_open(
                 openk, ovf_open, Wn=W, cfg=cfg, NB=NB, GB=GB, ng=ng)
-            return (fids, live_w, near, nn, ovf_n, ovf_open), None
+            return (fids, live_w, near, nn, needn, ovf_n, ovf_open), None
 
-        carry = (fids, live_w, near, nn, ovf_n, ovf_open)
+        carry = (fids, live_w, near, nn, needn, ovf_n, ovf_open)
         carry, _ = lax.scan(scan_body, carry, (tbls, sls, nls))
-        fids, live_w, near, nn, ovf_n, ovf_open = carry
+        fids, live_w, near, nn, needn, ovf_n, ovf_open = carry
 
     # last level + overfull-cell chunking
     tbl = rt.levels[depth]
-    _, _, bigk, near, nn, ovf_n = do_level(depth, fids, live_w, near, nn,
-                                           ovf_n)
+    _, _, bigk, near, nn, needn, ovf_n = do_level(depth, fids, live_w,
+                                                  near, nn, needn, ovf_n)
     bid = compact_plane(bigk)[:, :cfg.big_cap]
     bval = bid != IMAX
     brow = tbl[jnp.clip(bid, 0, tbl.shape[0] - 1)]
@@ -169,15 +173,18 @@ def _record_segments(rt: RangeTree, glo, ghi, pad, extent, cfg: FusedConfig,
     bkey = jnp.where(ccn > 0, cst * 32 + ccn,
                      IMAX).reshape(ng, cfg.big_cap * cfg.big_chunks)
     bkey = compact_plane(bkey)
+    big_drop = jnp.maximum(
+        jnp.sum((bigk != IMAX).astype(jnp.int32), axis=1) - cfg.big_cap, 0)
+    needn = (needn + jnp.sum((bkey != IMAX).astype(jnp.int32), axis=1)
+             + big_drop * cfg.big_chunks)
     near, nn, ovf_n = _append_plane(near, nn, ovf_n, bkey, bkey.shape[1])
-    ovf_n = ovf_n + ovf_open[0] + jnp.sum(
-        jnp.maximum(jnp.sum((bigk != IMAX).astype(jnp.int32), axis=1)
-                    - cfg.big_cap, 0), dtype=jnp.int32)
-    return near, nn, ovf_n
+    ovf_n = ovf_n + ovf_open[0] + jnp.sum(big_drop, dtype=jnp.int32)
+    return near, nn, ovf_n, jnp.max(needn)
 
 
 def _emit_candidates(near, nn, rows16, gt, gty, gr, gidx, gvalid,
-                     cfg: FusedConfig, rcfg: RangeListConfig):
+                     cfg: FusedConfig, rcfg: RangeListConfig,
+                     box: float = 0.0):
     """Per-target candidate ids from the group segment planes.
 
     gt (ng,G,3) targets, gty (ng,G) types, gr (ng,G) padded radii,
@@ -198,9 +205,10 @@ def _emit_candidates(near, nn, rows16, gt, gty, gr, gidx, gvalid,
         cand = jnp.full((GB, G, K), IMAX, jnp.int32)
         ncand = jnp.zeros((GB, G), jnp.int32)
         kovf = jnp.zeros((), jnp.int32)
+        needk = jnp.zeros((GB, G), jnp.int32)
 
         def chunk(state):
-            ci, cand, ncand, kovf = state
+            ci, cand, ncand, kovf, needk = state
             e = lax.dynamic_slice(ent_b, (jnp.int32(0), ci * SC), (GB, SC))
             live = e != IMAX
             ee = jnp.where(live, e, 0)
@@ -234,6 +242,12 @@ def _emit_candidates(near, nn, rows16, gt, gty, gr, gidx, gvalid,
             d0 = gtb[:, :, None, 0] - spx[:, None, :]
             d1 = gtb[:, :, None, 1] - spy[:, None, :]
             d2 = gtb[:, :, None, 2] - spz[:, None, :]
+            if box:
+                # minimum image (the eval pass wraps too; without this,
+                # neighbours across the periodic faces never record)
+                d0 = d0 - box * jnp.round(d0 / box)
+                d1 = d1 - box * jnp.round(d1 / box)
+                d2 = d2 - box * jnp.round(d2 / box)
             r2 = d0 * d0 + d1 * d1 + d2 * d2
             ok = (okw[:, None, :]
                   & (r2 < (grb * grb)[:, :, None])
@@ -245,27 +259,28 @@ def _emit_candidates(near, nn, rows16, gt, gty, gr, gidx, gvalid,
                 GB * G, S)
             keysc = compact_plane(keys)[:, :K].reshape(GB, G, K)
             n_hit = jnp.sum(ok.astype(jnp.int32), axis=-1)
+            needk = needk + n_hit
             kovf = kovf + jnp.sum(jnp.maximum(n_hit - K, 0),
                                   dtype=jnp.int32)
             candf, nf, kovf = _append_plane(
                 cand.reshape(GB * G, K), ncand.reshape(GB * G),
                 kovf, keysc.reshape(GB * G, K), K)
             return ci + 1, candf.reshape(GB, G, K), nf.reshape(GB, G), \
-                kovf
+                kovf, needk
 
         def cond(state):
             return state[0] * SC < live_b
 
-        _, cand, ncand, kovf = lax.while_loop(
-            cond, chunk, (jnp.int32(0), cand, ncand, kovf))
-        return cand, ncand, kovf
+        _, cand, ncand, kovf, needk = lax.while_loop(
+            cond, chunk, (jnp.int32(0), cand, ncand, kovf, needk))
+        return cand, ncand, kovf, jnp.max(needk)
 
     live_n = jnp.max(blk(nn), axis=1)
-    cand, ncand, kovf = lax.map(
+    cand, ncand, kovf, needk = lax.map(
         block_body, (blk(near), blk(gt), blk(gty), blk(gr), blk(gidx),
                      live_n))
     return (cand.reshape(ng, G, K), ncand.reshape(ng, G),
-            jnp.sum(kovf, dtype=jnp.int32))
+            jnp.sum(kovf, dtype=jnp.int32), jnp.max(needk))
 
 
 @partial(jax.jit, static_argnames=("cfg", "rcfg", "depth", "n_real",
@@ -273,11 +288,12 @@ def _emit_candidates(near, nn, rows16, gt, gty, gr, gidx, gvalid,
 def _record(rt: RangeTree, gt, gty, gr, gidx, gvalid, glo, ghi, pad,
             extent, cfg: FusedConfig, rcfg: RangeListConfig, depth: int,
             n_real: int, box: float = 0.0):
-    near, nn, ovf_seg = _record_segments(rt, glo, ghi, pad, extent, cfg,
-                                         rcfg, depth, n_real, box)
-    cand, ncand, ovf_k = _emit_candidates(near, nn, rt.rows16, gt, gty,
-                                          gr, gidx, gvalid, cfg, rcfg)
-    return cand, ncand, jnp.stack([ovf_seg, ovf_k])
+    near, nn, ovf_seg, need_seg = _record_segments(
+        rt, glo, ghi, pad, extent, cfg, rcfg, depth, n_real, box)
+    cand, ncand, ovf_k, need_k = _emit_candidates(
+        near, nn, rt.rows16, gt, gty, gr, gidx, gvalid, cfg, rcfg, box)
+    return cand, ncand, jnp.stack([ovf_seg, ovf_k]), \
+        jnp.stack([need_seg, need_k])
 
 
 def record_candidates(tree: Octree, rows_sorted, h_all_sorted,
@@ -326,7 +342,7 @@ def record_candidates(tree: Octree, rows_sorted, h_all_sorted,
         ghi = jnp.where(any_v[:, None], ghi, far_here)
     pad = jnp.max(jnp.where(live_t, gr, 0.0), axis=1) + tree.drift
 
-    cand_g, ncand_g, ovf = _record(
+    cand_g, ncand_g, ovf, need = _record(
         rt, gt, gty, gr, gidx, gvalid, glo, ghi, pad, tree.extent, cfg,
         rcfg, depth, int(n), float(box))
 
@@ -338,7 +354,8 @@ def record_candidates(tree: Octree, rows_sorted, h_all_sorted,
     ncand = jnp.zeros(n + 1, jnp.int32).at[didx].set(
         ncand_g.reshape(-1))[:n]
     return SidmCandidates(cand=cand, ncand=ncand, r_ref=r_all,
-                          pos_ref=tree.pos_s, ovf=ovf, skin=skin)
+                          pos_ref=tree.pos_s, ovf=ovf, skin=skin,
+                          need=need)
 
 
 @partial(jax.jit, static_argnames=("params", "ngc", "box"))
@@ -470,10 +487,9 @@ def sidm_scatter_lists(p, pos_pred, tree: Octree, cands: SidmCandidates,
         p, pos_pred, tree.perm, inv, ptot_t, best_t, cnt_t, bj_t, time,
         active, scan, p_max, rand, vmax, key, params, params.log_events)
     viol = candidates_valid(cands, tree.pos_s, h_eff[tree.perm])
+    p2, n_scat, ev = out
     if params.log_events:
-        p2, n_scat, ev = out
         return p2, n_scat, ev, viol, ovf_g
-    p2, n_scat = out
     return p2, n_scat, viol, ovf_g
 
 

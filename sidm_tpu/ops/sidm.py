@@ -310,7 +310,12 @@ def sidm_scatter(p: Particles, pos_pred, time, active, vmax, key,
 
 def _collect_events(p, pos_pred, time, accepted, pj, dv_i, cap):
     """Pack per-event SCATTERLOG records (struct scatlog, nbody/sidm.h:1-10):
-    [time, id1, id2, h1, h2, x1(3), x2(3), v1(3), v2(3), dv(3)] = 20 f32."""
+    [time, id1, id2, h1, h2, x1(3), x2(3), v1(3), v2(3), dv(3)] = 20 x 4
+    bytes. The ids travel as a separate int32 array (the C struct stores
+    them as int4byte in the same 4-byte slots) — exact at any N, unlike
+    the float cast an all-f32 record would need, which corrupts ids
+    above 2^24. The writer interleaves them into the binary layout;
+    decode with sidm_tpu.io.checkpoint.read_scatter_log."""
     n = accepted.shape[0]
     cap = min(cap, n)
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -321,15 +326,15 @@ def _collect_events(p, pos_pred, time, accepted, pj, dv_i, cap):
     j = pj[order]
     rec = jnp.concatenate([
         jnp.full((cap, 1), time, pos_pred.dtype),
-        p.pid[i].astype(pos_pred.dtype)[:, None],
-        p.pid[j].astype(pos_pred.dtype)[:, None],
         p.hsml_vd[i][:, None], p.hsml_vd[j][:, None],
         pos_pred[i], pos_pred[j],
         p.vel[i], p.vel[j],
         dv_i[i],
     ], axis=1)
     rec = jnp.where(valid[:, None], rec, 0.0)
-    return rec, jnp.sum(valid.astype(jnp.int32))
+    ids = jnp.stack([p.pid[i], p.pid[j]], axis=1).astype(jnp.int32)
+    ids = jnp.where(valid[:, None], ids, 0)
+    return rec, ids, jnp.sum(valid.astype(jnp.int32))
 
 
 def _perp_unit(a, b):

@@ -40,7 +40,7 @@ from ..constants import SCAT_KERNEL_FACTOR
 from ..cosmo import drift_factor
 from ..kernels import sph_kernel
 from ..rng import particle_uniforms, random_directions
-from ..sidm_common import cross_section_co, sidm_cmax, sigma_v_product
+from ..sidm_common import cross_section_co, sidm_cmax, sigma_v_product, salt_u32 as _salt_u32
 from ..state import Particles
 from .sidm import SidmParams, _perp_unit, _resolve_conflicts
 from .tree import Octree, build_octree
@@ -529,7 +529,7 @@ def sidm_scatter_tree(p: Particles, pos_pred, tree: Octree, time, active,
 
     ptot, best, cnt, bj = _scan_all(
         rows, seg_g, seg_s, seg_c, scnt, gt, gv, gh, gdt4, gty, gidx,
-        time, sigma_co, jnp.uint32(salt & 0xFFFFFFFF), params, cfg, box)
+        time, sigma_co, _salt_u32(salt), params, cfg, box)
 
     inv = jnp.zeros(n, jnp.int32).at[tree.perm].set(
         jnp.arange(n, dtype=jnp.int32))

@@ -372,7 +372,7 @@ def sidm_scatter_wq(p, pos_pred, tree: Octree, time, active, vmax, key,
 
     ptot, ncnt, bestk, bestj, ovf, ovf_items = _range_eval_wq(
         rt, gt, gv, gh, gdt, gty, gidx, glo, ghi, pad, tree.extent,
-        tree.origin, jnp.uint32(salt & 0xFFFFFFFF), time, sigma_co, cfg,
+        tree.origin, _salt_u32(salt), time, sigma_co, cfg,
         depth, n, params, float(box))
 
     inv = jnp.zeros(n, jnp.int32).at[tree.perm].set(

@@ -220,18 +220,52 @@ def make_multichip_step(mesh: Mesh, consts, ts_params, *, theta=0.5,
             pot=jnp.where(active_l, pot, p_l.pot),
         )
 
-        # --- SIDM: replicated DSMC over the gathered state (identical
-        # RNG on every device -> identical kicks; each keeps its slice) ---
+        # --- SIDM: SHARDED proposals + replicated finish. Each device
+        # walks only its strided slice of the gated target groups (the
+        # expensive part, ~1/n_shards of the pair enumeration) against
+        # the replicated tree; the per-target proposal fields combine in
+        # one psum/pmax round, then the scatter decision + conflict
+        # resolution + kicks run replicated from identical RNG — the ICI
+        # analog of the reference's 3-phase exported-particle handshake
+        # (sidm.c:204-603). Only the fields the DSMC pass actually reads
+        # are gathered (vel/mass/ptype/pid/dvel/hsml_vd/ngb_vd/
+        # current_time + predicted positions); everything else keeps a
+        # zero placeholder, so peak per-device memory stays well below a
+        # full-pytree gather. ---
         n_scat = jnp.zeros((), jnp.int32)
         if sidm_params is not None:
-            p_g = jax.tree.map(_gather, p_l)
+            ng_tot = pos.shape[0]
+
+            def _zeros3(x):
+                return jnp.zeros((ng_tot,) + x.shape[1:], x.dtype)
+
+            p_g = Particles(
+                pos=pos, vel=_gather(p_l.vel), mass=mass,
+                ptype=_gather(p_l.ptype), pid=_gather(p_l.pid),
+                accel=_zeros3(p_l.accel), pot=_zeros3(p_l.pot),
+                old_acc=_zeros3(p_l.old_acc),
+                dvel=_gather(p_l.dvel), hsml_vd=_gather(p_l.hsml_vd),
+                ngb_vd=_gather(p_l.ngb_vd),
+                vel_disp=_zeros3(p_l.vel_disp),
+                dens_vd=_zeros3(p_l.dens_vd),
+                current_time=_gather(p_l.current_time),
+                max_pred_time=_zeros3(p_l.max_pred_time),
+                egy_spec=_zeros3(p_l.egy_spec),
+                density=_zeros3(p_l.density), hsml=_zeros3(p_l.hsml),
+                dt_egy=_zeros3(p_l.dt_egy),
+                dt_density=_zeros3(p_l.dt_density),
+                dt_hsml=_zeros3(p_l.dt_hsml),
+                div_vel=_zeros3(p_l.div_vel),
+                curl_vel=_zeros3(p_l.curl_vel),
+                ngb_sph=_zeros3(p_l.ngb_sph))
             active_g = _gather(active_l)
-            pos_pred_g = _gather(pos_pred_l)
+            pos_pred_g = pos
             if use_fused:
                 from ..ops.fused_range import sidm_scatter_fused
                 p_g2, n_scat = sidm_scatter_fused(
                     p_g, pos_pred_g, tree, t_next, active_g, vmax, key,
-                    sidm_params, box=(pbc[0] if pbc is not None else 0.0))
+                    sidm_params, box=(pbc[0] if pbc is not None else 0.0),
+                    shard=(lax.axis_index(AXIS), nsh), axis_name=AXIS)
             else:
                 from ..ops.sidm import sidm_scatter
                 p_g2, n_scat = sidm_scatter(p_g, pos_pred_g, t_next,

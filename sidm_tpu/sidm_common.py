@@ -103,3 +103,14 @@ def sidm_cmax(time, vmax, sigma_internal, cs_type, yukawa_velocity, vel_scale,
         from .cosmo import s_of_a
         c = c / s_of_a(time, hubble, omega0, omega_lambda)
     return c
+
+
+def salt_u32(salt):
+    """Per-step Gumbel salt as uint32. Accepts Python ints and traced
+    int arrays (a traced int32 & 0xFFFFFFFF would overflow at trace
+    time, so mask only concrete values)."""
+    import jax.numpy as jnp
+
+    if isinstance(salt, int):
+        salt = salt & 0xFFFFFFFF
+    return jnp.asarray(salt).astype(jnp.uint32)

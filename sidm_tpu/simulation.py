@@ -32,7 +32,7 @@ from . import integrate, timestep
 from .config import SimConfig, Units, parse_parameter_file, set_units, \
     write_parameters_out
 from .constants import MAX_REAL_NUMBER
-from .diagnostics import (CpuLog, EnergyLog, InfoLog, Timer,
+from .diagnostics import (CpuLog, EnergyLog, InfoLog, Timer, TimingsLog,
                           compute_system_state)
 from .integrate import StepConsts
 from .io import checkpoint as ckpt
@@ -129,9 +129,34 @@ class Simulation:
         snap = read_snapshot(path)
         if self.restart_flag == 2:
             self.time = float(snap.header.time)
+        u = snap.u
+        if (self.restart_flag == 0 and self.cfg.InitGasTemp > 0
+                and u is not None):
+            # read_ic.c:449-467: gas particles whose IC energy is exactly
+            # zero start at InitGasTemp instead of cold
+            from .constants import (BOLTZMANN_CGS, GAMMA_MINUS1,
+                                    PROTONMASS_CGS)
+            u_init = ((1.0 / GAMMA_MINUS1) * (BOLTZMANN_CGS / PROTONMASS_CGS)
+                      * self.cfg.InitGasTemp
+                      * self.units.UnitMass_in_g / self.units.UnitEnergy_in_cgs)
+            u = np.where((snap.ptype == 0) & (u == 0), u_init, u)
         p = make_particles(snap.pos, snap.vel, snap.mass, snap.ptype,
-                           pid=snap.pid, egy_spec=snap.u, dtype=self.dtype)
+                           pid=snap.pid, egy_spec=u, dtype=self.dtype)
         self.particles = self._init_particle_times(p)
+
+    def check_omega(self):
+        """init.c:201-225: the box's mass content must account for the
+        configured Omega0 (comoving periodic runs); abort if discrepant."""
+        cfg, u = self.cfg, self.units
+        masstot = float(jnp.sum(jnp.where(self.particles.valid,
+                                          self.particles.mass, 0.0)))
+        rho_crit = 3.0 * u.Hubble * u.Hubble / (8.0 * np.pi * u.G)
+        omega = masstot / cfg.BoxSize ** 3 / rho_crit
+        if abs(omega - cfg.Omega0) > 1.0e-3:
+            raise ValueError(
+                f"check_omega: the IC mass content accounts for "
+                f"Omega={omega:g}, but the parameter file specifies "
+                f"Omega0={cfg.Omega0:g}")
 
     def _init_particle_times(self, p: Particles) -> Particles:
         t0 = jnp.asarray(self.time, self.dtype)
@@ -492,14 +517,20 @@ class Simulation:
             from .ops.list_force import (ListConfig, advance_tree,
                                          eval_lists, max_displacement,
                                          record_lists)
-            lfc = ListConfig(far_cap=int(cfg.ListFarCap),
-                             near_cap=int(cfg.ListNearCap))
+            lfc = getattr(self, "_lfc_override", None) or ListConfig(
+                far_cap=int(cfg.ListFarCap),
+                near_cap=int(cfg.ListNearCap))
             # node-vs drift (forcetree.c node prediction) replaces the
             # full moments refresh between rebuilds; comoving runs keep
             # the refresh (softenings/moment factors are time-dependent)
             # as do gas runs (fused_sph reads refreshed part_rows)
             use_drift = (not cfg.ComovingIntegrationOn
                          and not self._has_gas())
+            # drift-mode vacuum runs stream MATERIALIZED far node rows
+            # (sequential HBM reads instead of row gathers; node COMs
+            # predicted by vcom*dt in-tile, forcetree.c:941-948)
+            lfc = lfc._replace(materialize=bool(use_drift and pbc is None))
+            self._lfc_active = lfc
 
         # static promise for the tree build: one softening value across
         # all types present — node eps_max then broadcasts instead of
@@ -560,12 +591,14 @@ class Simulation:
                         vel=p.vel, t_now=t_next)
                     raw_acc, pot = eval_lists(tree, lists, mass, eps,
                                               cfg=fcfg, lcfg=lfc,
-                                              need_pot=False, pbc=pbc)
+                                              need_pot=False, pbc=pbc,
+                                              t_now=t_next)
                     extra = lists
                 elif lists_in is not None:
                     raw_acc, pot = eval_lists(tree, lists_in, mass, eps,
                                               cfg=fcfg, lcfg=lfc,
-                                              need_pot=False, pbc=pbc)
+                                              need_pot=False, pbc=pbc,
+                                              t_now=t_next)
                     extra = max_displacement(lists_in, tree.pos_s)
                 else:
                     raw_acc, pot = fused_gravity_tree(
@@ -726,20 +759,80 @@ class Simulation:
 
     _PHASE_TIMING = bool(int(os.environ.get("SIDM_TPU_PHASE_TIMING", "0")))
 
+    @staticmethod
+    def _round_cap(v, mult=128):
+        return int(-(-int(v) // mult) * mult)
+
+    def _refit_list_caps(self, need) -> bool:
+        """Resize the interaction-list caps from recorded demand (need =
+        [far/grp, near/grp, used nodes]) and schedule a phase re-jit.
+        Returns False once the resize budget is exhausted (the caller
+        then falls back to the walk engine for good)."""
+        from .ops.list_force import ListConfig
+        if getattr(self, "_list_resizes", 0) >= 3:
+            return False
+        cur = getattr(self, "_lfc_override", None) or ListConfig(
+            far_cap=int(self.cfg.ListFarCap),
+            near_cap=int(self.cfg.ListNearCap))
+        new = cur._replace(
+            far_cap=max(cur.far_cap, self._round_cap(1.15 * int(need[0]))),
+            near_cap=max(cur.near_cap, self._round_cap(1.15 * int(need[1]))),
+            used_cap=max(cur.used_cap, self._round_cap(1.15 * int(need[2]),
+                                                       4096)),
+            mat_cap=max(cur.mat_cap, self._round_cap(1.15 * int(need[3]),
+                                                     32)),
+        )
+        new = new._replace(lvl_cap=max(new.lvl_cap,
+                                       min(new.far_cap, new.near_cap)))
+        if new == cur:
+            return False
+        self._lfc_override = new
+        self._list_resizes = getattr(self, "_list_resizes", 0) + 1
+        self._phases = None     # re-jit with the new static caps
+        return True
+
+    def _refit_sidm_caps(self, need) -> bool:
+        """Resize the SIDM candidate-list caps from recorded demand
+        (need = [seg/grp, cand/particle])."""
+        from .ops.list_range import RangeListConfig
+        if getattr(self, "_sidm_resizes", 0) >= 3:
+            return False
+        cur = getattr(self, "_sidm_rcfg", None) or RangeListConfig()
+        new = cur._replace(
+            seg_cap=max(cur.seg_cap, self._round_cap(1.15 * int(need[0]))),
+            k_cap=max(cur.k_cap, self._round_cap(1.25 * int(need[1]), 32)),
+        )
+        new = new._replace(lvl_cap=max(new.lvl_cap, new.seg_cap))
+        if new == cur:
+            return False
+        self._sidm_rcfg = new
+        self._sidm_resizes = getattr(self, "_sidm_resizes", 0) + 1
+        self._sidm_record_jit = None
+        self._sidm_lists_jit = None
+        return True
+
     def step_phased(self, first: bool = False):
         from .ops.sidm_tree import sidm_scatter_tree
 
         def _mark(label, *sync):
-            # FdCPU-style per-phase wall timing (run.c:250-285), opt-in
-            # because the block_until_ready syncs serialize the phases
-            if self._PHASE_TIMING:
-                for x in sync:
-                    jax.block_until_ready(x)
-                now = _wallclock.perf_counter()
-                if label:
+            # FdCPU-style per-phase wall timing (run.c:250-285). The
+            # block_until_ready syncs serialize host dispatch against the
+            # device at phase boundaries — negligible when phases run for
+            # milliseconds-to-seconds of device time, and they make the
+            # CpuLog buckets real measurements instead of dispatch times.
+            for x in sync:
+                jax.block_until_ready(x)
+            now = _wallclock.perf_counter()
+            if label:
+                self.last_phase_wall[label] = (
+                    self.last_phase_wall.get(label, 0.0)
+                    + (now - self._t_mark))
+                if self._PHASE_TIMING:
                     print(f"#phase {label:<10s} {now - self._t_mark:8.3f}s",
                           file=_sys.stderr, flush=True)
-                self._t_mark = now
+            self._t_mark = now
+
+        self.last_phase_wall = {}
 
         if getattr(self, "_phases", None) is None:
             self._phases = self._build_phases()
@@ -794,21 +887,35 @@ class Simulation:
             self._refresh_left -= 1
         elif use_lists:
             # fresh topology + list recording under an adaptive skin
-            # sized for the refresh period from the observed drift rate
+            # sized for the refresh period from the observed drift rate.
+            # Drop the expired cache FIRST: the materialized far stream
+            # is GB-scale, and holding the old one across the re-record
+            # would double the footprint.
+            self._lists_cache = None
             self._skin_now = 2.5 * self._disp_rate * refresh_steps
             p, t_next, active, pos_pred, vel_pred, tree, lists = \
                 phase_force_record(self.particles, vmax,
                                    jnp.asarray(self._skin_now, self.dtype))
             ovf = np.asarray(lists.ovf)
             if int(ovf[1:].sum()):
-                # a capped list is an incomplete force — recompute this
-                # step with the walk engine and stop using lists
+                # a capped list is an incomplete force: recompute this
+                # step with the walk engine, then REFIT the caps from the
+                # recorded demand telemetry and re-jit — a mis-sized cap
+                # must not permanently forfeit the list engine
+                need = np.asarray(lists.need)
+                refit = self._refit_list_caps(need)
                 print(f"WARNING: interaction-list caps overflowed "
                       f"(level={int(ovf[0])} far={int(ovf[1])} "
-                      f"near={int(ovf[2])} used={int(ovf[3])}); raise "
-                      f"ListFarCap/ListNearCap. Falling back to per-step "
-                      f"walk.", file=_sys.stderr, flush=True)
-                self._lists_disabled = True
+                      f"near={int(ovf[2])} used={int(ovf[3])} "
+                      f"mat={int(ovf[4])}; demand "
+                      f"far/grp={int(need[0])} near/grp={int(need[1])} "
+                      f"used={int(need[2])} items={int(need[3])}); "
+                      + ("resized caps, re-recording next rebuild."
+                         if refit else "cap refit exhausted - falling "
+                         "back to the per-step walk."),
+                      file=_sys.stderr, flush=True)
+                if not refit:
+                    self._lists_disabled = True
                 self._lists_cache = None
                 p, t_next, active, pos_pred, vel_pred, tree = phase_force(
                     self.particles, vmax)
@@ -820,6 +927,7 @@ class Simulation:
             p, t_next, active, pos_pred, vel_pred, tree = phase_force(
                 self.particles, vmax)
             self._refresh_left = refresh_steps - 1
+        self._last_step_rebuilt = not reuse
         if use_fused and self._refresh_left > 0:
             # drift safety: rebuild early once the conservative guard
             # inflation reaches the deepest cell size (walk cost blows
@@ -853,34 +961,47 @@ class Simulation:
                 # candidate lists rebuild with the tree topology (same
                 # skin; shared validity cadence). One jit per config —
                 # the packing would otherwise run op-by-op through the
-                # remote-dispatch tunnel.
-                if getattr(self, "_sidm_record_jit", None) is None:
-                    from functools import partial as _partial
+                # remote-dispatch tunnel. A cap overflow refits the caps
+                # from the recorded demand and re-records immediately.
+                for _attempt in range(4):
+                    if getattr(self, "_sidm_record_jit", None) is None:
+                        from functools import partial as _partial
 
-                    from .ops.list_range import \
-                        record_candidates_from_particles
+                        from .ops.list_range import \
+                            record_candidates_from_particles
 
-                    @_partial(jax.jit, static_argnames=("params", "box"))
-                    def _rec(p, pos_pred, tree, skin, *, params, box):
-                        return record_candidates_from_particles(
-                            p, pos_pred, tree, skin=skin, params=params,
-                            box=box)
-                    self._sidm_record_jit = _rec
-                cands = self._sidm_record_jit(
-                    p, pos_pred, tree,
-                    jnp.asarray(self._skin_now, self.dtype),
-                    params=params, box=box)
-                covf = np.asarray(cands.ovf)
-                if int(covf[0]) or int(covf[1]):
+                        @_partial(jax.jit,
+                                  static_argnames=("params", "box",
+                                                   "rcfg"))
+                        def _rec(p, pos_pred, tree, skin, *, params, box,
+                                 rcfg):
+                            return record_candidates_from_particles(
+                                p, pos_pred, tree, skin=skin,
+                                params=params, box=box, rcfg=rcfg)
+                        self._sidm_record_jit = _rec
+                    cands = self._sidm_record_jit(
+                        p, pos_pred, tree,
+                        jnp.asarray(self._skin_now, self.dtype),
+                        params=params, box=box,
+                        rcfg=getattr(self, "_sidm_rcfg", None))
+                    covf = np.asarray(cands.ovf)
+                    if not (int(covf[0]) or int(covf[1])):
+                        self._sidm_cands = cands
+                        break
+                    need = np.asarray(cands.need)
+                    refit = self._refit_sidm_caps(need)
                     print(f"WARNING: SIDM candidate caps overflowed "
-                          f"(seg={int(covf[0])} k={int(covf[1])}); "
-                          f"falling back to the range walk.",
+                          f"(seg={int(covf[0])} k={int(covf[1])}; demand "
+                          f"seg/grp={int(need[0])} k/part={int(need[1])}); "
+                          + ("resized caps, re-recording."
+                             if refit else "cap refit exhausted - falling "
+                             "back to the range walk."),
                           file=_sys.stderr, flush=True)
-                    self._sidm_lists_disabled = True
-                    self._sidm_cands = None
-                    use_sidm_lists = False
-                else:
-                    self._sidm_cands = cands
+                    if not refit:
+                        self._sidm_lists_disabled = True
+                        self._sidm_cands = None
+                        use_sidm_lists = False
+                        break
             if use_sidm_lists and self._sidm_cands is not None:
                 if getattr(self, "_sidm_lists_jit", None) is None:
                     from functools import partial as _partial
@@ -888,18 +1009,20 @@ class Simulation:
                     from .ops.list_range import sidm_scatter_lists
 
                     @_partial(jax.jit,
-                              static_argnames=("params", "box"))
+                              static_argnames=("params", "box", "rcfg"))
                     def _scat(p, pos_pred, tree, cands, t_next, active,
-                              vmax, key, salt, *, params, box):
+                              vmax, key, salt, *, params, box, rcfg):
                         return sidm_scatter_lists(
                             p, pos_pred, tree, cands, t_next, active,
-                            vmax, key, params, salt=salt, box=box)
+                            vmax, key, params, salt=salt, box=box,
+                            rcfg=rcfg)
                     self._sidm_lists_jit = _scat
                 out = self._sidm_lists_jit(
                     p, pos_pred, tree, self._sidm_cands, t_next, active,
                     vmax, key,
                     jnp.asarray(self.step_count & 0xFFFFFFFF, jnp.uint32),
-                    params=params, box=box)
+                    params=params, box=box,
+                    rcfg=getattr(self, "_sidm_rcfg", None))
                 if params.log_events:
                     p, n_scat, events, viol, ovf_g = out
                 else:
@@ -907,9 +1030,20 @@ class Simulation:
                 if float(viol) > 0:
                     self._refresh_left = 0   # rebuild lists next step
                 if int(ovf_g) > 0:
+                    # gated-target compaction buffer too small: this
+                    # step under-sampled the DSMC targets. Grow the
+                    # fraction and re-jit; the biased step is reported.
+                    from .ops.list_range import RangeListConfig
+                    cur = getattr(self, "_sidm_rcfg", None) \
+                        or RangeListConfig()
+                    self._sidm_rcfg = cur._replace(
+                        gated_frac=min(1.0, 1.6 * cur.gated_frac))
+                    self._sidm_lists_jit = None
                     print(f"WARNING: gated-target cap exceeded by "
-                          f"{int(ovf_g)}; raise RangeListConfig."
-                          f"gated_frac.", file=_sys.stderr, flush=True)
+                          f"{int(ovf_g)} this step (targets dropped); "
+                          f"gated_frac -> "
+                          f"{self._sidm_rcfg.gated_frac:.2f}.",
+                          file=_sys.stderr, flush=True)
             elif self.cfg.ForceMethod == "tree":
                 if self.cfg.TreeWalkEngine == "wq":
                     from .ops.wq_range import sidm_scatter_wq \
@@ -957,6 +1091,10 @@ class Simulation:
         assert self.particles is not None, "load ICs first"
         cfg = self.cfg
         p = self.particles
+
+        # IC mass sanity (init.c:59-61): comoving periodic boxes only
+        if cfg.ComovingIntegrationOn and cfg.PeriodicBoundariesOn:
+            self.check_omega()
 
         # initial SIDM smoothing lengths (init.c setup_smoothinglengths_sidm)
         if cfg.SIDMOn and cfg.CrossSection > 0:
@@ -1017,6 +1155,7 @@ class Simulation:
     def step(self):
         if self._use_phased():
             return self.step_phased()
+        self.last_phase_wall = {}
         if self._step_jit is None:
             self._step_jit = self._build_step()
         key = step_key(self.root_key, self.step_count)
@@ -1050,16 +1189,25 @@ class Simulation:
 
     def _write_scatter_log(self, events):
         """Append binary per-event records (SCATTERLOG, sidm.c:96-104,
-        571-601; struct scatlog sidm.h:1-10) to sct_XXX in OutputDir."""
-        rec, cnt = events
+        571-601; struct scatlog sidm.h:1-10) to sct_XXX in OutputDir.
+        Layout per record: 20 x 4 bytes = [time f32, id1 i32, id2 i32,
+        h1, h2, x1(3), x2(3), v1(3), v2(3), dv(3) f32] — ids exact int32,
+        matching the reference's int4byte fields."""
+        rec, ids, cnt = events
         cnt = int(cnt)
         if cnt == 0:
             return
         import numpy as _np
+        rec = _np.asarray(rec)[:cnt].astype(_np.float32)
+        ids = _np.asarray(ids)[:cnt].astype(_np.int32)
+        out = _np.empty((cnt, 20), _np.float32)
+        out[:, 0] = rec[:, 0]
+        out[:, 1:3] = ids.view(_np.float32)
+        out[:, 3:] = rec[:, 1:]
         path = os.path.join(
             self.cfg.OutputDir, f"sct_{self.snapshot_count:03d}.0")
         with open(path, "ab") as f:
-            _np.asarray(rec)[:cnt].astype(_np.float32).tofile(f)
+            out.tofile(f)
 
     # ------------------------------------------------------------------ run()
 
@@ -1069,6 +1217,8 @@ class Simulation:
         self.energy_log = EnergyLog(os.path.join(d, self.cfg.EnergyFile), append)
         self.info_log = InfoLog(os.path.join(d, self.cfg.InfoFile), append)
         self.cpu_log = CpuLog(os.path.join(d, self.cfg.CpuFile), append)
+        self.timings_log = TimingsLog(
+            os.path.join(d, self.cfg.TimingsFile), append)
         self._logs_open = True
 
     def run(self, max_steps: Optional[int] = None):
@@ -1111,8 +1261,26 @@ class Simulation:
 
             step_wall = _wallclock.perf_counter() - t0
             self.cpu_this_run += step_wall
-            self.cpu_log.add("Gravity", step_wall)
+            phases = getattr(self, "last_phase_wall", None) or {}
+            if phases:
+                # per-phase buckets from step_phased's _mark syncs
+                # (run.c:250-285 FdCPU analog)
+                self.cpu_log.add("Gravity", phases.get("force", 0.0))
+                self.cpu_log.add("Sidm", phases.get("sidm", 0.0)
+                                 + phases.get("veldisp", 0.0))
+                self.cpu_log.add("Hydro", phases.get("gas", 0.0))
+                self.cpu_log.add("TimeLine", phases.get("finish", 0.0))
+                rest = step_wall - sum(phases.values())
+                self.cpu_log.add("Predict", max(rest, 0.0))
+                # sub-buckets: force time split by rebuild vs reuse steps
+                sub = ("TreeConstruction" if getattr(
+                    self, "_last_step_rebuilt", False) else "TreeWalk")
+                self.cpu_log.add_sub(sub, phases.get("force", 0.0))
+            else:
+                self.cpu_log.add("Gravity", step_wall)
             self.cpu_log.write(self.step_count, self.time)
+            self.timings_log.write(self.step_count, self.time, n_active,
+                                   wall_s=step_wall)
 
             # interruption checks (run.c:152-202)
             if ckpt.stopfile_present(cfg.OutputDir):

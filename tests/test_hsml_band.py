@@ -1,0 +1,140 @@
+"""Hsml-controller deviation validation (PARITY #14, VERDICT r3 #8).
+
+The reference keeps each scatterer's neighbour count inside
+[DesNumNgb - dev, DesNumNgb + dev] by REDOING an out-of-band scattering
+search within the step (sidm_ensure_neighbours, sidm.c:512-537, 814-968).
+This port replaces that with a multiplicative per-step controller
+(sidm_tree._tree_sidm_finish: h *= clip((des/cnt)^(1/3), 0.7, 1.3)) and
+claims rate equivalence: the kernel-weighted DSMC probability
+
+    P_i = sum_j 0.5 m_j W(r_ij, h_i) sigma v_rel dt
+
+is an (unbiased, to smoothing order) density estimate for ANY enumeration
+radius, so the steady-state scattering RATE must agree with an
+exact-band implementation. This test measures both rates on the same
+frozen configuration:
+
+* "band": h_i reset every step to the exact kNN radius (the
+  ops/neighbors bisection used by setup_smoothinglengths — neighbour
+  count exactly inside the band, the reference's invariant);
+* "controller": h_i evolves freely from a deliberately mis-set start
+  (x3 too large) under the production controller.
+
+After a burn-in for the controller to converge, the steady-state rates
+must agree within the Poisson resolution of the run (~1.5% here) times a
+safety factor. The flagship-parameter version of this check
+(sigma/m = 38.26, NFW profile, N = 1e5) runs on TPU via
+scripts/validate_hsml_band.py; its result is recorded in PARITY.md.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sidm_tpu.ops.fused_force import default_depth
+from sidm_tpu.ops.fused_range import sidm_scatter_fused
+from sidm_tpu.ops.neighbors import setup_smoothing_lengths
+from sidm_tpu.ops.sidm import SidmParams
+from sidm_tpu.ops.tree import build_octree
+from sidm_tpu.rng import run_key, step_key
+from sidm_tpu.state import make_particles
+
+N = 8192
+BOX = 1.0
+DT = 0.05
+SIGMA = 1.0
+STEPS = 48
+BURN = 12
+
+
+def _setup():
+    rng = np.random.default_rng(42)
+    pos = rng.uniform(0, BOX, (N, 3))
+    vel = rng.normal(0, 1.0, (N, 3))
+    p = make_particles(pos, vel, np.full(N, 1.0 / N),
+                       np.ones(N, np.int32), pad_to_multiple=N)
+    params = SidmParams(SIGMA, 0, 1.0, 1.0, 0.0, 30, 2, False, 0.1, 0.0,
+                        0.0, maintenance_rate=1.0)
+    eps = jnp.full(N, 0.01, jnp.float32)
+    tree = build_octree(p.pos, p.mass, eps, p.valid, box=BOX,
+                        depth=default_depth(N))
+    return p, params, tree
+
+
+def _rates(p0, params, tree, mode, seed=17):
+    """Total events per step, frozen configuration; mode 'controller'
+    lets hsml_vd evolve, mode 'band' resets it to the exact kNN radius
+    (band-exact) before every step."""
+    t = jnp.asarray(DT / 2.0, jnp.float32)
+    vmax = jnp.sqrt(jnp.max(jnp.sum(p0.vel ** 2, -1)))
+    root = run_key(seed, 1)
+
+    p_band = setup_smoothing_lengths(p0, params.des_num_ngb,
+                                     params.max_num_ngb_dev, box=BOX)
+    h_band = p_band.hsml_vd
+
+    if mode == "controller":
+        # start badly mis-converged: x3 the band radius
+        p = dataclasses.replace(p0, hsml_vd=3.0 * h_band)
+    else:
+        p = p_band
+
+    @jax.jit
+    def one(p, key, salt):
+        pp, ns = sidm_scatter_fused(p, p.pos, tree, t, p.valid, vmax,
+                                    key, params, salt=salt, box=BOX)
+        # frozen configuration: drop the kicks, keep the controller state
+        return dataclasses.replace(pp, dvel=jnp.zeros_like(pp.dvel)), ns
+
+    counts = []
+    for i in range(STEPS):
+        if mode == "band":
+            p = dataclasses.replace(p, hsml_vd=h_band)
+        p, ns = one(p, step_key(root, i), jnp.uint32(i))
+        counts.append(int(ns))
+    return np.asarray(counts)
+
+
+def test_controller_rate_matches_exact_band():
+    p, params, tree = _setup()
+    c_ctrl = _rates(p, params, tree, "controller")
+    c_band = _rates(p, params, tree, "band")
+
+    r_ctrl = c_ctrl[BURN:].mean()
+    r_band = c_band[BURN:].mean()
+    n_ev = c_band[BURN:].sum()
+    poisson = 1.0 / np.sqrt(max(n_ev, 1))
+    tol = 3.0 * poisson + 0.01   # 3 sigma Poisson + 1% bias budget
+    assert abs(r_ctrl - r_band) / r_band < tol, \
+        (r_ctrl, r_band, n_ev, tol)
+
+
+def test_controller_converges_into_band():
+    """After burn-in, the controller's neighbour counts sit inside (a
+    modestly widened) reference band — the steady state the reference
+    enforces per step (sidm.c:512-537)."""
+    p, params, tree = _setup()
+    t = jnp.asarray(DT / 2.0, jnp.float32)
+    vmax = jnp.sqrt(jnp.max(jnp.sum(p.vel ** 2, -1)))
+    root = run_key(23, 1)
+
+    p_band = setup_smoothing_lengths(p, params.des_num_ngb,
+                                     params.max_num_ngb_dev, box=BOX)
+    p = dataclasses.replace(p, hsml_vd=3.0 * p_band.hsml_vd)
+
+    @jax.jit
+    def one(p, key, salt):
+        pp, _ = sidm_scatter_fused(p, p.pos, tree, t, p.valid, vmax,
+                                   key, params, salt=salt, box=BOX)
+        return dataclasses.replace(pp, dvel=jnp.zeros_like(pp.dvel))
+
+    for i in range(BURN):
+        p = one(p, step_key(root, i), jnp.uint32(i))
+    cnt = np.asarray(p.ngb_vd)
+    # enumeration happens at SCAT_KERNEL_FACTOR * hsml_vd; the
+    # controller steers the count seen there toward DesNumNgb. Allow a
+    # x2 spread (the per-step clip is [0.7, 1.3]^3 in count space).
+    med = np.median(cnt[cnt > 0])
+    assert params.des_num_ngb / 2 <= med <= params.des_num_ngb * 2, med

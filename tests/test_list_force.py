@@ -170,3 +170,52 @@ def test_advance_tree_drift_matches_refresh():
     # and stays close to the exact-moments eval
     dr = np.linalg.norm(np.asarray(acc_d - acc_r), axis=1)
     assert np.percentile(dr / nx, 99) <= 1e-3
+
+
+def test_materialized_far_matches_gather_eval():
+    """lcfg.materialize: the item-major streamed node rows must produce
+    the same force as the per-item gather path — fresh (t = t_ref) and
+    after a node-vs drift (advance_tree vs the in-tile vcom*dt
+    prediction, forcetree.c:941-948)."""
+    import dataclasses as _dc
+
+    pos, vel, mass, eps, valid, old_acc, tree = _setup()
+    cfg = ff.FusedConfig()
+    vel = jnp.asarray(vel, jnp.float32)
+    lcfg_g = lf.ListConfig()
+    lcfg_m = lf.ListConfig(materialize=True)
+
+    lists_g = lf.record_lists(tree, old_acc[tree.perm], valid[tree.perm],
+                              theta=0.5, use_relative=True,
+                              err_tol_force_acc=0.005, cfg=cfg,
+                              lcfg=lcfg_g, vel=vel, t_now=1.0)
+    lists_m = lf.record_lists(tree, old_acc[tree.perm], valid[tree.perm],
+                              theta=0.5, use_relative=True,
+                              err_tol_force_acc=0.005, cfg=cfg,
+                              lcfg=lcfg_m, vel=vel, t_now=1.0)
+    assert int(lists_m.ovf.sum()) == 0, np.asarray(lists_m.ovf)
+    assert lists_m.matf is not None
+
+    # fresh: t_now == t_ref, zero drift
+    acc_g, pot_g = lf.eval_lists(tree, lists_g, mass, eps, cfg=cfg,
+                                 lcfg=lcfg_g, need_pot=True, t_now=1.0)
+    acc_m, pot_m = lf.eval_lists(tree, lists_m, mass, eps, cfg=cfg,
+                                 lcfg=lcfg_m, need_pot=True, t_now=1.0)
+    np.testing.assert_allclose(np.asarray(acc_m), np.asarray(acc_g),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(pot_m), np.asarray(pot_g),
+                               rtol=1e-5, atol=1e-7)
+
+    # drifted: advance_tree moves node COMs by vcom*dt; the materialized
+    # tile predicts the same motion from the recorded vcom slots
+    pos2 = pos + 0.02 * vel
+    t2 = 1.0 + 0.02
+    tree2g = lf.advance_tree(tree, lists_g, pos2, t2)
+    acc_g2, _ = lf.eval_lists(tree2g, lists_g, mass, eps, cfg=cfg,
+                              lcfg=lcfg_g, need_pot=False, t_now=t2)
+    tree2m = lf.advance_tree(tree, lists_m, pos2, t2)
+    acc_m2, _ = lf.eval_lists(tree2m, lists_m, mass, eps, cfg=cfg,
+                              lcfg=lcfg_m, need_pot=False, t_now=t2)
+    da = np.linalg.norm(np.asarray(acc_m2 - acc_g2), axis=1)
+    na = np.linalg.norm(np.asarray(acc_g2), axis=1)
+    assert np.percentile(da / np.maximum(na, 1e-20), 99) < 1e-5
