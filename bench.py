@@ -24,10 +24,10 @@ import numpy as np
 CPU_REFERENCE_PART_STEPS_PER_SEC = 1.5e5
 
 N = int(os.environ.get("BENCH_N", 1_000_000))
-STEPS = int(os.environ.get("BENCH_STEPS", 8))
+STEPS = int(os.environ.get("BENCH_STEPS", 16))
 # one full lazy-rebuild cadence: STEPS covers (K-1) cached-list steps +
 # 1 rebuild step, so the measured window is the honest amortized cost
-REFRESH = int(os.environ.get("BENCH_REFRESH", 8))
+REFRESH = int(os.environ.get("BENCH_REFRESH", 16))
 
 
 def main():

@@ -74,10 +74,14 @@ class ListConfig(NamedTuple):
                               # eval instead of 64-byte random gathers);
                               # drift-mode only (node COMs advance by the
                               # materialized vcom, moments stay frozen)
-    mat_cap: int = 256        # max materialized far items; one item =
+    mat_cap: int = 512        # max materialized far items; one item =
                               # (far_block, fc, 16) f32 = far_block*fc*64
-                              # bytes. Auto-resized from telemetry on
-                              # overflow like the other caps.
+                              # bytes (8.4 MB -> 4.3 GB at 512; the
+                              # allocation also clamps to what the
+                              # schedule can produce, so small runs stay
+                              # small). Auto-resized from telemetry on
+                              # overflow like the other caps; flagship
+                              # N=1e6 demand is ~421 items.
 
 
 class InteractionLists(NamedTuple):
@@ -442,11 +446,13 @@ def record_lists(tree: Octree, old_acc_sorted, valid_sorted, *,
         ctbl = jnp.concatenate(
             [tbl_all[src], jnp.zeros((1, 16), tbl_all.dtype)])
         ctbl = ctbl.at[:-1, 4:7].set(vcom[src]).at[:, 7].set(0.0)
-        of, _, bi_f, ci_f, ni_f, GBf, _ = _far_schedule(
+        of, _, bi_f, ci_f, ni_f, GBf, NBf_s = _far_schedule(
             nf, lcfg, ngp, lcfg.far_cap)
         far_s = far_c[of]
         FC = lcfg.fc
-        cap_i = lcfg.mat_cap
+        # never allocate beyond what the schedule can produce (small-N
+        # runs would otherwise pay the flagship-sized buffer)
+        cap_i = min(lcfg.mat_cap, NBf_s * (lcfg.far_cap // FC + 1))
 
         def mat_item(state):
             i, mat = state

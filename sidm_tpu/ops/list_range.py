@@ -50,10 +50,18 @@ from .tree import Octree
 
 
 class RangeListConfig(NamedTuple):
-    k_cap: int = 128          # candidates per particle
-    seg_cap: int = 4096       # consolidated range segments per group
-    lvl_cap: int = 2048       # per-level recording width
+    k_cap: int = 384          # candidates per particle (the flagship
+                              # N=1e6 NFW first record demands ~740 for
+                              # unconverged-hsml outliers; 384 is the
+                              # accept-with-truncation ceiling, see
+                              # Simulation._SIDM_K_CEILING)
+    seg_cap: int = 8192       # consolidated range segments per group
+                              # (flagship demand ~6.5k)
+    lvl_cap: int = 4096       # per-level recording width
     sc: int = 32              # segment chunk width in the emission pass
+                              # (sc=128 measured 8.4 s vs 4.9 s at 32:
+                              # the padded (G, sc*32) pair tile wastes
+                              # more than the item-count saving)
     pad_fac: float = 1.2      # radius pad factor over h(record)
     gated_frac: float = 0.3   # static cap on gated targets per step, as a
                               # fraction of n (compaction buffer size)
@@ -188,7 +196,17 @@ def _emit_candidates(near, nn, rows16, gt, gty, gr, gidx, gvalid,
     """Per-target candidate ids from the group segment planes.
 
     gt (ng,G,3) targets, gty (ng,G) types, gr (ng,G) padded radii,
-    gidx (ng,G) sorted ids. Returns cand (ng,G,K), ncand, K-overflow."""
+    gidx (ng,G) sorted ids. Returns cand (ng,G,K), ncand, K-overflow.
+
+    Work schedule: groups are LENGTH-SORTED by their segment count and
+    the live (block, chunk) pairs flatten into one item list under a
+    single while_loop (the list_force._item_schedule pattern) — a
+    map-of-while over unsorted blocks runs every block to its longest
+    member's chunk count and paid a full-width append per dead chunk
+    (measured 16.9 s of a 21.2 s record at N=1e6; this schedule brings
+    emission in line with the ~4 s walk)."""
+    from .list_force import _item_schedule
+
     ng, G, _ = gt.shape
     K = rcfg.k_cap
     SC = rcfg.sc
@@ -197,90 +215,94 @@ def _emit_candidates(near, nn, rows16, gt, gty, gr, gidx, gvalid,
         GB -= 1
     NB = ng // GB
 
-    def blk(x):
-        return x.reshape((NB, GB) + x.shape[1:])
+    o = jnp.argsort(-nn)
+    inv = jnp.zeros(ng, jnp.int32).at[o].set(
+        jnp.arange(ng, dtype=jnp.int32))
+    near_s = near[o]
+    gt_s, gty_s, gr_s, gidx_s = gt[o], gty[o], gr[o], gidx[o]
+    bi_a, ci_a, n_items = _item_schedule(
+        nn[o].reshape(NB, GB), SC, NB * (near.shape[1] // SC + 1))
 
-    def block_body(args):
-        ent_b, gtb, gtyb, grb, gidxb, live_b = args
-        cand = jnp.full((GB, G, K), IMAX, jnp.int32)
-        ncand = jnp.zeros((GB, G), jnp.int32)
-        kovf = jnp.zeros((), jnp.int32)
-        needk = jnp.zeros((GB, G), jnp.int32)
+    nrows = rows16.shape[0]
+    slot = jnp.arange(32, dtype=jnp.int32)
 
-        def chunk(state):
-            ci, cand, ncand, kovf, needk = state
-            e = lax.dynamic_slice(ent_b, (jnp.int32(0), ci * SC), (GB, SC))
-            live = e != IMAX
-            ee = jnp.where(live, e, 0)
-            start = ee >> 5
-            cnt = jnp.where(live, ee & 31, 0)
-            row0 = start >> 4
-            off = start & 15
-            nrows = rows16.shape[0]
-            rid = jnp.stack([row0, jnp.minimum(row0 + 1, nrows - 1)],
-                            axis=-1)
-            g = rows16[rid.reshape(-1)].reshape(GB, SC, 2, 128)
-            slot = jnp.arange(32, dtype=jnp.int32)
-            okw = (slot[None, None, :] >= off[:, :, None]) \
-                & (slot[None, None, :] < (off + cnt)[:, :, None]) \
-                & live[:, :, None]
-            S = SC * 32
-            j_idx = ((row0 << 4)[:, :, None]
-                     + slot[None, None, :]).reshape(GB, S)
-            okw = okw.reshape(GB, S)
+    def item(state):
+        i, cand, ncand, kovf, needk = state
+        g0 = bi_a[i] * GB
+        ci = ci_a[i]
+        e = lax.dynamic_slice(near_s, (g0, ci * SC), (GB, SC))
+        gtb = lax.dynamic_slice(gt_s, (g0, 0, 0), (GB, G, 3))
+        gtyb = lax.dynamic_slice(gty_s, (g0, 0), (GB, G))
+        grb = lax.dynamic_slice(gr_s, (g0, 0), (GB, G))
+        gidxb = lax.dynamic_slice(gidx_s, (g0, 0), (GB, G))
 
-            def field(f):
-                return jnp.concatenate(
-                    [g[..., 0, 16 * f:16 * (f + 1)],
-                     g[..., 1, 16 * f:16 * (f + 1)]],
-                    axis=-1).reshape(GB, S)
+        live = e != IMAX
+        ee = jnp.where(live, e, 0)
+        start = ee >> 5
+        cnt = jnp.where(live, ee & 31, 0)
+        row0 = start >> 4
+        off = start & 15
+        rid = jnp.stack([row0, jnp.minimum(row0 + 1, nrows - 1)],
+                        axis=-1)
+        g = rows16[rid.reshape(-1)].reshape(GB, SC, 2, 128)
+        okw = (slot[None, None, :] >= off[:, :, None]) \
+            & (slot[None, None, :] < (off + cnt)[:, :, None]) \
+            & live[:, :, None]
+        S = SC * 32
+        j_idx = ((row0 << 4)[:, :, None]
+                 + slot[None, None, :]).reshape(GB, S)
+        okw = okw.reshape(GB, S)
 
-            spx, spy, spz = field(0), field(1), field(2)
-            aux = field(7)
-            s_type = jnp.mod(aux, 8.0).astype(jnp.int32)
+        def field(f):
+            return jnp.concatenate(
+                [g[..., 0, 16 * f:16 * (f + 1)],
+                 g[..., 1, 16 * f:16 * (f + 1)]],
+                axis=-1).reshape(GB, S)
 
-            d0 = gtb[:, :, None, 0] - spx[:, None, :]
-            d1 = gtb[:, :, None, 1] - spy[:, None, :]
-            d2 = gtb[:, :, None, 2] - spz[:, None, :]
-            if box:
-                # minimum image (the eval pass wraps too; without this,
-                # neighbours across the periodic faces never record)
-                d0 = d0 - box * jnp.round(d0 / box)
-                d1 = d1 - box * jnp.round(d1 / box)
-                d2 = d2 - box * jnp.round(d2 / box)
-            r2 = d0 * d0 + d1 * d1 + d2 * d2
-            ok = (okw[:, None, :]
-                  & (r2 < (grb * grb)[:, :, None])
-                  & (j_idx[:, None, :] != gidxb[:, :, None])
-                  & (s_type[:, None, :] == gtyb[:, :, None]))
+        spx, spy, spz = field(0), field(1), field(2)
+        aux = field(7)
+        s_type = jnp.mod(aux, 8.0).astype(jnp.int32)
 
-            # compact this chunk's hits and append to each target's list
-            keys = jnp.where(ok, j_idx[:, None, :], IMAX).reshape(
-                GB * G, S)
-            keysc = compact_plane(keys)[:, :K].reshape(GB, G, K)
-            n_hit = jnp.sum(ok.astype(jnp.int32), axis=-1)
-            needk = needk + n_hit
-            kovf = kovf + jnp.sum(jnp.maximum(n_hit - K, 0),
-                                  dtype=jnp.int32)
-            candf, nf, kovf = _append_plane(
-                cand.reshape(GB * G, K), ncand.reshape(GB * G),
-                kovf, keysc.reshape(GB * G, K), K)
-            return ci + 1, candf.reshape(GB, G, K), nf.reshape(GB, G), \
-                kovf, needk
+        d0 = gtb[:, :, None, 0] - spx[:, None, :]
+        d1 = gtb[:, :, None, 1] - spy[:, None, :]
+        d2 = gtb[:, :, None, 2] - spz[:, None, :]
+        if box:
+            # minimum image (the eval pass wraps too; without this,
+            # neighbours across the periodic faces never record)
+            d0 = d0 - box * jnp.round(d0 / box)
+            d1 = d1 - box * jnp.round(d1 / box)
+            d2 = d2 - box * jnp.round(d2 / box)
+        r2 = d0 * d0 + d1 * d1 + d2 * d2
+        ok = (okw[:, None, :]
+              & (r2 < (grb * grb)[:, :, None])
+              & (j_idx[:, None, :] != gidxb[:, :, None])
+              & (s_type[:, None, :] == gtyb[:, :, None]))
 
-        def cond(state):
-            return state[0] * SC < live_b
+        # compact this chunk's hits and append to each target's list
+        keys = jnp.where(ok, j_idx[:, None, :], IMAX).reshape(GB * G, S)
+        keysc = compact_plane(keys)[:, :K]
+        n_hit = jnp.sum(ok.astype(jnp.int32), axis=-1)
+        needk = lax.dynamic_update_slice(
+            needk,
+            lax.dynamic_slice(needk, (g0, 0), (GB, G)) + n_hit, (g0, 0))
+        kovf = kovf + jnp.sum(jnp.maximum(n_hit - K, 0), dtype=jnp.int32)
+        cb = lax.dynamic_slice(cand, (g0, 0, 0),
+                               (GB, G, K)).reshape(GB * G, K)
+        nb = lax.dynamic_slice(ncand, (g0, 0), (GB, G)).reshape(GB * G)
+        cb, nb, kovf = _append_plane(cb, nb, kovf, keysc, K)
+        cand = lax.dynamic_update_slice(cand, cb.reshape(GB, G, K),
+                                        (g0, 0, 0))
+        ncand = lax.dynamic_update_slice(ncand, nb.reshape(GB, G),
+                                         (g0, 0))
+        return i + 1, cand, ncand, kovf, needk
 
-        _, cand, ncand, kovf, needk = lax.while_loop(
-            cond, chunk, (jnp.int32(0), cand, ncand, kovf, needk))
-        return cand, ncand, kovf, jnp.max(needk)
-
-    live_n = jnp.max(blk(nn), axis=1)
-    cand, ncand, kovf, needk = lax.map(
-        block_body, (blk(near), blk(gt), blk(gty), blk(gr), blk(gidx),
-                     live_n))
-    return (cand.reshape(ng, G, K), ncand.reshape(ng, G),
-            jnp.sum(kovf, dtype=jnp.int32), jnp.max(needk))
+    cand0 = jnp.full((ng, G, K), IMAX, jnp.int32)
+    ncand0 = jnp.zeros((ng, G), jnp.int32)
+    needk0 = jnp.zeros((ng, G), jnp.int32)
+    _, cand, ncand, kovf, needk = lax.while_loop(
+        lambda s: s[0] < n_items, item,
+        (jnp.int32(0), cand0, ncand0, jnp.zeros((), jnp.int32), needk0))
+    return (cand[inv], ncand[inv], kovf, jnp.max(needk))
 
 
 @partial(jax.jit, static_argnames=("cfg", "rcfg", "depth", "n_real",

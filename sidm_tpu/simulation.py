@@ -528,8 +528,12 @@ class Simulation:
                          and not self._has_gas())
             # drift-mode vacuum runs stream MATERIALIZED far node rows
             # (sequential HBM reads instead of row gathers; node COMs
-            # predicted by vcom*dt in-tile, forcetree.c:941-948)
-            lfc = lfc._replace(materialize=bool(use_drift and pbc is None))
+            # predicted by vcom*dt in-tile, forcetree.c:941-948). A cap
+            # refit can turn this off (memory budget) via the override.
+            ovr = getattr(self, "_lfc_override", None)
+            want_mat = (use_drift and pbc is None
+                        and (ovr is None or ovr.materialize))
+            lfc = lfc._replace(materialize=bool(want_mat))
             self._lfc_active = lfc
 
         # static promise for the tree build: one softening value across
@@ -763,6 +767,10 @@ class Simulation:
     def _round_cap(v, mult=128):
         return int(-(-int(v) // mult) * mult)
 
+    # materialized far-stream budget: one item = far_block*fc*64 bytes
+    # (8.4 MB at the defaults) -> 512 items = 4.3 GB of HBM
+    _MAT_ITEM_CEILING = 512
+
     def _refit_list_caps(self, need) -> bool:
         """Resize the interaction-list caps from recorded demand (need =
         [far/grp, near/grp, used nodes]) and schedule a phase re-jit.
@@ -771,17 +779,23 @@ class Simulation:
         from .ops.list_force import ListConfig
         if getattr(self, "_list_resizes", 0) >= 3:
             return False
-        cur = getattr(self, "_lfc_override", None) or ListConfig(
-            far_cap=int(self.cfg.ListFarCap),
-            near_cap=int(self.cfg.ListNearCap))
+        cur = (getattr(self, "_lfc_active", None)
+               or getattr(self, "_lfc_override", None)
+               or ListConfig(far_cap=int(self.cfg.ListFarCap),
+                             near_cap=int(self.cfg.ListNearCap)))
         new = cur._replace(
             far_cap=max(cur.far_cap, self._round_cap(1.15 * int(need[0]))),
             near_cap=max(cur.near_cap, self._round_cap(1.15 * int(need[1]))),
             used_cap=max(cur.used_cap, self._round_cap(1.15 * int(need[2]),
                                                        4096)),
-            mat_cap=max(cur.mat_cap, self._round_cap(1.15 * int(need[3]),
-                                                     32)),
+            mat_cap=max(cur.mat_cap,
+                        min(self._round_cap(1.1 * int(need[3]), 32),
+                            self._MAT_ITEM_CEILING)),
         )
+        if int(need[3]) > self._MAT_ITEM_CEILING:
+            # the materialized stream would exceed its memory budget —
+            # keep the list engine, fall back to the gather eval
+            new = new._replace(materialize=False)
         new = new._replace(lvl_cap=max(new.lvl_cap,
                                        min(new.far_cap, new.near_cap)))
         if new == cur:
@@ -790,6 +804,15 @@ class Simulation:
         self._list_resizes = getattr(self, "_list_resizes", 0) + 1
         self._phases = None     # re-jit with the new static caps
         return True
+
+    # hard ceiling for per-particle candidate storage: the (n, K) list is
+    # n*K*4 bytes (1.5 GB at N=1e6, K=384). Demand above the ceiling
+    # comes from rare targets whose h is far out of the neighbour band
+    # (unconverged controller); their lists TRUNCATE at K for a step or
+    # two, the controller sees cnt ~= K >> DesNumNgb and shrinks h — the
+    # same self-limiting the reference enforces by its in-step redo
+    # (sidm_ensure_neighbours, sidm.c:814-968).
+    _SIDM_K_CEILING = 384
 
     def _refit_sidm_caps(self, need) -> bool:
         """Resize the SIDM candidate-list caps from recorded demand
@@ -800,7 +823,9 @@ class Simulation:
         cur = getattr(self, "_sidm_rcfg", None) or RangeListConfig()
         new = cur._replace(
             seg_cap=max(cur.seg_cap, self._round_cap(1.15 * int(need[0]))),
-            k_cap=max(cur.k_cap, self._round_cap(1.25 * int(need[1]), 32)),
+            k_cap=max(cur.k_cap,
+                      min(self._round_cap(1.25 * int(need[1]), 32),
+                          self._SIDM_K_CEILING)),
         )
         new = new._replace(lvl_cap=max(new.lvl_cap, new.seg_cap))
         if new == cur:
@@ -842,6 +867,8 @@ class Simulation:
             self._disp_rate = 0.0
             self._steps_since_build = 0
             self._skin_now = 0.0
+            self._last_dt = 0.0
+            self._t_rebuild = float(self.time)
             self._lists_disabled = False
             self._sidm_cands = None
             self._sidm_lists_disabled = False
@@ -873,8 +900,13 @@ class Simulation:
             self._refresh_left -= 1
             self._steps_since_build += 1
             md = float(md)
-            rate = md / max(self._steps_since_build, 1)
-            self._disp_rate = max(rate, 0.7 * self._disp_rate)
+            # displacement rate per unit SIMULATION TIME (the early-run
+            # dt ramp would otherwise make a per-step rate underestimate
+            # the coming cycle and force premature rebuilds)
+            t_elapsed = float(t_next) - self._t_rebuild
+            if t_elapsed > 0:
+                rate = md / t_elapsed
+                self._disp_rate = max(rate, 0.7 * self._disp_rate)
             # validity: acceptances are MAC-valid while total displacement
             # stays under skin/2 (target and node motion each shrink pair
             # distances by at most the max displacement)
@@ -888,14 +920,21 @@ class Simulation:
         elif use_lists:
             # fresh topology + list recording under an adaptive skin
             # sized for the refresh period from the observed drift rate.
-            # Drop the expired cache FIRST: the materialized far stream
-            # is GB-scale, and holding the old one across the re-record
-            # would double the footprint.
+            # Drop the expired caches FIRST: the materialized far stream
+            # is GB-scale, and holding the old generation across the
+            # re-record would double the footprint.
             self._lists_cache = None
-            self._skin_now = 2.5 * self._disp_rate * refresh_steps
+            self._tree_cache = None
+            self._sidm_cands = None
+            # skin for the coming cycle: drift rate (per unit time) x
+            # the expected cycle span (last dt x K), with a 2.5 safety
+            self._skin_now = (2.5 * self._disp_rate
+                              * getattr(self, "_last_dt", 0.0)
+                              * refresh_steps)
             p, t_next, active, pos_pred, vel_pred, tree, lists = \
                 phase_force_record(self.particles, vmax,
                                    jnp.asarray(self._skin_now, self.dtype))
+            self._t_rebuild = float(t_next)
             ovf = np.asarray(lists.ovf)
             if int(ovf[1:].sum()):
                 # a capped list is an incomplete force: recompute this
@@ -927,11 +966,14 @@ class Simulation:
             p, t_next, active, pos_pred, vel_pred, tree = phase_force(
                 self.particles, vmax)
             self._refresh_left = refresh_steps - 1
+            self._t_rebuild = float(t_next)
         self._last_step_rebuilt = not reuse
-        if use_fused and self._refresh_left > 0:
-            # drift safety: rebuild early once the conservative guard
-            # inflation reaches the deepest cell size (walk cost blows
-            # up well before correctness ever could)
+        if use_fused and not use_lists and self._refresh_left > 0:
+            # drift safety (WALK engine only): rebuild early once the
+            # conservative guard inflation reaches the deepest cell size
+            # (walk cost blows up well before correctness ever could).
+            # The list path has its own validity monitor (max
+            # displacement vs skin/2) and pays no guard inflation.
             s_deep = float(tree.extent) / (1 << tree.depth)
             if float(tree.drift) > 0.25 * s_deep:
                 self._refresh_left = 0
@@ -963,6 +1005,8 @@ class Simulation:
                 # the packing would otherwise run op-by-op through the
                 # remote-dispatch tunnel. A cap overflow refits the caps
                 # from the recorded demand and re-records immediately.
+                self._sidm_cands = None   # free before the re-record
+                cands = None
                 for _attempt in range(4):
                     if getattr(self, "_sidm_record_jit", None) is None:
                         from functools import partial as _partial
@@ -979,6 +1023,7 @@ class Simulation:
                                 p, pos_pred, tree, skin=skin,
                                 params=params, box=box, rcfg=rcfg)
                         self._sidm_record_jit = _rec
+                    cands = None   # drop a failed attempt's buffers first
                     cands = self._sidm_record_jit(
                         p, pos_pred, tree,
                         jnp.asarray(self._skin_now, self.dtype),
@@ -989,6 +1034,23 @@ class Simulation:
                         self._sidm_cands = cands
                         break
                     need = np.asarray(cands.need)
+                    from .ops.list_range import RangeListConfig
+                    rc = getattr(self, "_sidm_rcfg", None) \
+                        or RangeListConfig()
+                    if (int(covf[0]) == 0
+                            and rc.k_cap >= self._SIDM_K_CEILING):
+                        # only K truncation left, cap at ceiling: accept
+                        # — the affected targets' controllers self-limit
+                        # (see _SIDM_K_CEILING)
+                        if not getattr(self, "_sidm_k_warned", False):
+                            self._sidm_k_warned = True
+                            print(f"NOTE: SIDM candidate lists truncate "
+                                  f"at K={rc.k_cap} for outlier targets "
+                                  f"(demand {int(need[1])}); their hsml "
+                                  f"controllers will shrink h.",
+                                  file=_sys.stderr, flush=True)
+                        self._sidm_cands = cands
+                        break
                     refit = self._refit_sidm_caps(need)
                     print(f"WARNING: SIDM candidate caps overflowed "
                           f"(seg={int(covf[0])} k={int(covf[1])}; demand "
@@ -1078,6 +1140,8 @@ class Simulation:
         self.particles = p
         prev_time = self.time
         self.time = float(t_next)
+        if self.time > prev_time:
+            self._last_dt = self.time - prev_time
         self.vmax = float(vmax_new)
         if not first:
             self.step_count += 1
