@@ -496,6 +496,18 @@ def sidm_scatter_lists(p, pos_pred, tree: Octree, cands: SidmCandidates,
         _tree_sidm_prep(p, pos_pred, tree.perm, time, active, vmax, key,
                         params)
 
+    # validity BY CONSTRUCTION: clamp each target's enumeration radius
+    # to what its recorded candidate ball still covers after the drift
+    # since record time (r_ref - 2*max_disp). The kernel-weighted rate
+    # estimate is unbiased for any enumeration radius, so a clamped
+    # step costs variance, not bias — and no global rebuild trigger is
+    # needed (the old min-slack margin forced a rebuild every 2-3 steps
+    # at flagship scale). h out-growing the pad is handled the same way.
+    d = tree.pos_s - cands.pos_ref
+    md = jnp.sqrt(jnp.max(jnp.sum(d * d, axis=-1)))
+    slack = jnp.maximum(cands.r_ref - 2.0 * md, 0.0)
+    hs = jnp.minimum(hs, slack)
+
     ngc = int(rcfg.gated_frac * n)
     ngc = max(4096, -(-ngc // 4096) * 4096)
     ptot_t, cnt_t, best_t, bj_t, ovf_g = _eval_gated(

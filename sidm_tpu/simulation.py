@@ -1005,6 +1005,29 @@ class Simulation:
                 # the packing would otherwise run op-by-op through the
                 # remote-dispatch tunnel. A cap overflow refits the caps
                 # from the recorded demand and re-records immediately.
+                # ensure_neighbours-style correction (sidm.c:814-968):
+                # clamp stale-large smoothing lengths to a local
+                # cell-density bound ONCE per rebuild. Rarely-scanned
+                # particles keep their h between scans, and the old
+                # global 8x-median cap fed back on itself (outskirt h
+                # growth raised the median raised the cap...), blowing
+                # the per-particle candidate demand up over a long run.
+                if getattr(self, "_sidm_hclamp_jit", None) is None:
+                    from functools import partial as _partial
+
+                    from .ops.fused_range import cell_count_hsml_seed
+
+                    @_partial(jax.jit, static_argnames=("des",))
+                    def _hclamp(p, tree, *, des):
+                        seed = cell_count_hsml_seed(tree, des)
+                        cap = 2.5 * seed
+                        h = jnp.where(
+                            p.is_collisionless & p.valid & (cap > 0),
+                            jnp.minimum(p.hsml_vd, cap), p.hsml_vd)
+                        return dataclasses.replace(p, hsml_vd=h)
+                    self._sidm_hclamp_jit = _hclamp
+                p = self._sidm_hclamp_jit(p, tree,
+                                          des=int(params.des_num_ngb))
                 self._sidm_cands = None   # free before the re-record
                 cands = None
                 for _attempt in range(4):
@@ -1089,8 +1112,11 @@ class Simulation:
                     p, n_scat, events, viol, ovf_g = out
                 else:
                     p, n_scat, viol, ovf_g = out
-                if float(viol) > 0:
-                    self._refresh_left = 0   # rebuild lists next step
+                # viol is telemetry only: sidm_scatter_lists clamps each
+                # enumeration radius to its still-covered ball, so a
+                # drifted cycle costs variance, never bias (no forced
+                # rebuild; the force-list displacement monitor owns the
+                # rebuild cadence)
                 if int(ovf_g) > 0:
                     # gated-target compaction buffer too small: this
                     # step under-sampled the DSMC targets. Grow the
