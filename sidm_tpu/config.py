@@ -176,8 +176,8 @@ class SimConfig:
     # displacement skin, then evaluate forces each step straight off the
     # lists (no per-step walk). 0 disables (re-walk every step).
     ListMode: int = 1
-    ListFarCap: int = 12288             # per-group far (multipole) entries
-    ListNearCap: int = 8192             # per-group near (segment) entries
+    ListFarCap: int = 8192              # per-group far (multipole) entries
+    ListNearCap: int = 5120             # per-group near (segment) entries
     # SPH engine for the phased (large-N) driver: "cell" = hashed
     # cell-list (ops/sph.py; its candidate cap can overflow in dense
     # regions), "fused" = tree-segment range walk sharing the force

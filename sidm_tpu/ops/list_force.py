@@ -53,10 +53,15 @@ from .tree import Octree, level_offsets
 
 
 class ListConfig(NamedTuple):
-    far_cap: int = 12288      # per-group recorded far (node) entries
-    near_cap: int = 8192      # per-group recorded near (segment) entries
+    # caps sized to the measured flagship demand (N=1e6 NFW, skin for a
+    # 16-step cycle: far/grp 7020, near/grp 4421, used 231881) plus
+    # ~15%; the append shift networks scale with the cap width, so
+    # oversized caps tax every record. The auto-refit machinery grows
+    # them from telemetry if a run demands more.
+    far_cap: int = 8192       # per-group recorded far (node) entries
+    near_cap: int = 5120      # per-group recorded near (segment) entries
     lvl_cap: int = 3072       # per-level recording width (pre-consolidation)
-    used_cap: int = 524288    # distinct-node cap for the compact gather
+    used_cap: int = 294912    # distinct-node cap for the compact gather
                               # table (measured 243k used of 7.6M at
                               # N=1e6; XLA row-gather runs ~39M rows/s
                               # from the 467 MB flat table vs ~120M from
