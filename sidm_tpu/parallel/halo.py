@@ -1,0 +1,350 @@
+"""Halo-exchange SIDM: boundary-particle export instead of full gather.
+
+The reference never ships the whole particle set between ranks for the
+neighbour phases: each task exports ONLY particles within +-Hsml of a
+domain boundary (the interior/export split, density.c:96-108 +
+``determine_interior()`` density.c:565-667; sidm.c:141-161 classifies the
+same way), and partner recoils travel back in a small confirmation round
+(sidm.c:543-603). This module is the ICI analog for the sharded DSMC
+pass:
+
+* each device owns a Morton-contiguous particle shard = a compact spatial
+  window; its *halo* is every remote particle inside the window expanded
+  by the local maximum scattering radius (the density.c:96-108 export
+  criterion with the roles flipped: we import would-be exports);
+* the halo is collected with ``nsh-1`` ``ppermute`` ring hops — the
+  ICI schedule replacing the hypercube ``MPI_Sendrecv`` rounds
+  (sidm.c:204-214). Each visiting shard is filtered against the local
+  window and appended to a fixed-capacity buffer (static shapes; an
+  overflow counter reports an undersized cap);
+* the DSMC partner scan runs per-device over local targets x
+  (local + halo) candidates via the hashed cell table — per-device table
+  memory is O(N/nsh + halo) instead of the replicated O(N);
+* cross-shard coordination is two SMALL collectives: an ``all_gather``
+  of per-target partner proposals (int32 per target) feeding the global
+  order-free conflict resolution, and an ``all_gather`` of compacted
+  recoil events (the sidm.c:543-603 confirmation exchange) scattered
+  back onto the owners.
+
+Partner selection enumerates candidates in the local table order, so
+individual partner picks can differ from the single-device engine (any
+fixed enumeration order selects partner j with probability exactly P_j —
+the reference's own neighbour-list order is arbitrary too). The gate and
+the per-target total scattering probability are order-invariant, so the
+set of *attempting* particles and all rates match the replicated path
+exactly when the halo is complete; ``ngb_vd`` equality is the sharp
+completeness check used by the tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..constants import SCAT_KERNEL_FACTOR
+from ..cosmo import drift_factor
+from ..kernels import sph_kernel
+from ..rng import particle_uniforms, random_directions
+from ..sidm_common import cross_section_co, sidm_cmax, sigma_v_product
+from ..state import Particles
+from .mesh import AXIS
+
+_D = 10  # packed row: payload(8) + bitcast ptype + bitcast gid
+
+
+class HaloStats(NamedTuple):
+    n_halo: jax.Array          # halo rows collected on this device
+    halo_overflow: jax.Array   # bool: halo cap exceeded somewhere
+    event_overflow: jax.Array  # bool: recoil-event cap exceeded somewhere
+
+
+def _bc_i2f(x):
+    return lax.bitcast_convert_type(x.astype(jnp.int32), jnp.float32)
+
+
+def _bc_f2i(x):
+    return lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _pack(pos_pred_l, p_l: Particles, row0):
+    """Pack the ring payload: the standard 8-float neighbour payload rows
+    (position, velocity, mass, type+pending-flag aux) plus bitcast ptype
+    and global row id channels."""
+    from ..ops.neighbors import make_payload
+
+    nloc = pos_pred_l.shape[0]
+    pending = jnp.any(p_l.dvel != 0.0, axis=-1)
+    payload = make_payload(pos_pred_l, p_l.vel, p_l.mass, p_l.ptype,
+                           flag=pending)
+    gid = row0 + jnp.arange(nloc, dtype=jnp.int32)
+    return jnp.concatenate(
+        [payload, _bc_i2f(p_l.ptype)[:, None], _bc_i2f(gid)[:, None]],
+        axis=1)
+
+
+def _in_window(pos, lo, hi, box):
+    """Inside [lo, hi] per axis; minimum-image for periodic boxes."""
+    if box:
+        center = 0.5 * (lo + hi)
+        half = 0.5 * (hi - lo)
+        d = pos - center[None, :]
+        d = d - box * jnp.round(d / box)
+        # window wider than the box on an axis accepts everything there
+        ok = (jnp.abs(d) <= half[None, :]) | (half[None, :] >= 0.5 * box)
+        return jnp.all(ok, axis=1)
+    return jnp.all((pos >= lo[None, :]) & (pos <= hi[None, :]), axis=1)
+
+
+def collect_halo(pack_l, lo, hi, *, box, hcap: int, nsh: int):
+    """Ring-exchange halo collection (call inside shard_map).
+
+    Returns (halo_rows (hcap, _D), n_halo, overflow). nsh-1 ppermute hops;
+    each hop filters the visiting shard against the expanded local window
+    and appends matches to the fixed-capacity buffer."""
+    perm = [(i, (i - 1) % nsh) for i in range(nsh)]
+    buf = jnp.zeros((hcap + 1, _D), pack_l.dtype)
+    cnt = jnp.zeros((), jnp.int32)
+    carry = pack_l
+    for _ in range(nsh - 1):
+        carry = lax.ppermute(carry, AXIS, perm)
+        ptype_v = _bc_f2i(carry[:, 8])
+        sel = _in_window(carry[:, :3], lo, hi, box) & (ptype_v >= 0)
+        dest = jnp.cumsum(sel.astype(jnp.int32)) - 1 + cnt
+        dest = jnp.where(sel & (dest < hcap), dest, hcap)
+        buf = buf.at[dest].set(carry)
+        cnt = cnt + jnp.sum(sel.astype(jnp.int32))
+    return buf[:hcap], jnp.minimum(cnt, hcap), cnt > hcap
+
+
+def sidm_scatter_halo(p_l: Particles, pos_pred_l, time, active_l, vmax, key,
+                      params, *, box=0.0, nsh: int, hcap: int,
+                      ev_cap: int = 2048, halo_pad: float = 1.6):
+    """One DSMC pass with halo-exchanged candidates (inside shard_map).
+
+    Mirrors ops.sidm.sidm_scatter stage by stage; returns
+    (p_l', n_scattered_global, HaloStats)."""
+    from ..ops.neighbors import build_table, gather_candidates, knn_radius, \
+        payload_flag
+
+    nloc = pos_pred_l.shape[0]
+    n = nloc * nsh
+    dtype = pos_pred_l.dtype
+    row0 = lax.axis_index(AXIS).astype(jnp.int32) * nloc
+    vmask = p_l.valid[:, None]
+    pack_l = _pack(pos_pred_l, p_l, row0)
+    my_gid = row0 + jnp.arange(nloc, dtype=jnp.int32)
+
+    # ---- global table scale (pmin/psum-derived, same on every shard) ----
+    if box:
+        vol = jnp.asarray(box, dtype) ** 3
+    else:
+        glo = lax.pmin(jnp.min(jnp.where(vmask, pos_pred_l, jnp.inf), 0),
+                       AXIS)
+        ghi = lax.pmax(jnp.max(jnp.where(vmask, pos_pred_l, -jnp.inf), 0),
+                       AXIS)
+        vol = jnp.prod(jnp.maximum(ghi - glo, 1e-10))
+    n_valid = lax.psum(jnp.sum(p_l.valid.astype(jnp.int32)), AXIS)
+    r_k = (3.0 * params.des_num_ngb * vol
+           / (4.0 * jnp.pi * jnp.maximum(n_valid, 1))) ** (1.0 / 3.0)
+    hpos = jnp.where(p_l.hsml_vd > 0, p_l.hsml_vd, jnp.inf)
+    hmin = lax.pmin(
+        jnp.min(jnp.where(p_l.is_collisionless, hpos, jnp.inf)), AXIS)
+    s0 = jnp.where(jnp.isfinite(hmin), jnp.maximum(hmin, 1e-12), r_k / 2.0)
+
+    block = min(params.block, nloc)
+    nb = -(-nloc // block)
+    npad = nb * block
+
+    def pad1(x, fill=0):
+        return jnp.pad(x, (0, npad - nloc), constant_values=fill)
+
+    def _collect_and_table(hw):
+        """One export round (density.c:96-108 criterion at width hw):
+        halo collection + combined candidate table."""
+        lo = jnp.min(jnp.where(vmask, pos_pred_l, jnp.inf), axis=0) - hw
+        hi = jnp.max(jnp.where(vmask, pos_pred_l, -jnp.inf), axis=0) + hw
+        halo, n_halo, ovf = collect_halo(pack_l, lo, hi, box=box,
+                                         hcap=hcap, nsh=nsh)
+        slot = jnp.arange(hcap, dtype=jnp.int32)
+        halo_live = slot < n_halo
+        ptype_c = jnp.concatenate(
+            [p_l.ptype, jnp.where(halo_live, _bc_f2i(halo[:, 8]), -1)])
+        gid_c = jnp.concatenate(
+            [my_gid, jnp.where(halo_live, _bc_f2i(halo[:, 9]), -1)])
+        payload_c = jnp.concatenate([pack_l[:, :8], halo[:, :8]], axis=0)
+        valid_c = ptype_c >= 0
+        table = build_table(payload_c[:, 0:3], ptype_c, valid_c, s0=s0,
+                            box=box, n_levels=params.n_levels,
+                            payload=payload_c)
+        return table, gid_c, payload_c, n_halo, ovf
+
+    def _knn(table, warm):
+        h, cnt, _ = lax.map(
+            lambda a: knn_radius(table, a[0], a[1], a[2],
+                                 params.des_num_ngb, cap=params.cap,
+                                 n_iter=3),
+            (jnp.pad(pos_pred_l, ((0, npad - nloc), (0, 0)))
+             .reshape(nb, block, 3),
+             pad1(p_l.ptype, -1).reshape(nb, block),
+             pad1(warm, 1.0).reshape(nb, block)))
+        return h.reshape(-1)[:nloc], cnt.reshape(-1)[:nloc]
+
+    # ---- export round 1: window from the current smoothing lengths ----
+    coll = p_l.is_collisionless & p_l.valid
+    h_scat0 = SCAT_KERNEL_FACTOR * p_l.hsml_vd
+    hw1 = halo_pad * jnp.max(jnp.where(coll, h_scat0, 0.0))
+    table, gid_c, payload_c, n_halo, ovf1 = _collect_and_table(hw1)
+    warm = jnp.where(p_l.hsml_vd > 0, p_l.hsml_vd, 2.0 * s0)
+    h1, _ = _knn(table, warm)
+
+    # ---- export round 2 (the sidm_ensure_neighbours redo, sidm.c:814-
+    # 968): targets whose k-NN search GREW past the round-1 window saw a
+    # truncated candidate set; re-export at the refreshed width and redo.
+    # Two static rounds replace the reference's iterate-until-in-band
+    # loop; h drifts slowly per step, so round 2 is always conclusive in
+    # steady state (residual growth is telemetered, never silent). ----
+    hw2 = halo_pad * jnp.max(jnp.where(
+        coll, jnp.maximum(SCAT_KERNEL_FACTOR * h1, h_scat0), 0.0))
+    table, gid_c, payload_c, n_halo, ovf2 = _collect_and_table(hw2)
+    h_new, cnt_new = _knn(table, jnp.where(p_l.hsml_vd > 0, h1, warm))
+    h_ovf = lax.pmax((ovf1 | ovf2).astype(jnp.int32), AXIS) > 0
+
+    upd = p_l.is_collisionless & active_l
+    p_l = dataclasses.replace(
+        p_l, hsml_vd=jnp.where(upd, h_new, p_l.hsml_vd),
+        ngb_vd=jnp.where(upd, cnt_new.astype(jnp.int32), p_l.ngb_vd))
+
+    # ---- gate (sidm.c:338-346) ----
+    dt = 2.0 * (time - p_l.current_time)
+    s_inv = drift_factor(time, params.hubble, params.omega0,
+                         params.omega_lambda, params.comoving)
+    dt_h0 = jnp.where(active_l, dt, 0.0) * s_inv
+    sigma_co = cross_section_co(time, params.cross_section_internal,
+                                params.cross_section_type, params.comoving)
+    c_pmax = sidm_cmax(
+        time, vmax, params.cross_section_internal, params.cross_section_type,
+        params.yukawa_velocity, params.cross_section_vel_scale,
+        params.des_num_ngb, params.max_num_ngb_dev,
+        params.hubble, params.omega0, params.omega_lambda,
+        params.comoving, per_dt_h0=True)
+    has_pending = jnp.any(p_l.dvel != 0.0, axis=-1)
+    eligible = (active_l & p_l.is_collisionless & p_l.valid
+                & (~has_pending) & (dt_h0 > 0))
+    u = particle_uniforms(key, p_l.pid, 3)
+    rand = u[:, 0].astype(dtype)
+    h_scat = SCAT_KERNEL_FACTOR * p_l.hsml_vd
+    hinv3 = jnp.where(h_scat > 0, 1.0 / jnp.maximum(h_scat, 1e-30) ** 3, 0.0)
+    p_max = c_pmax * p_l.mass * hinv3 * dt_h0
+    gate = eligible & (p_max >= rand)
+
+    # ---- partner scan: local targets x combined candidates ----
+    args = (
+        jnp.pad(pos_pred_l, ((0, npad - nloc), (0, 0))),
+        jnp.pad(p_l.vel, ((0, npad - nloc), (0, 0))),
+        pad1(h_scat, 1.0), pad1(p_l.ptype, -1), pad1(gate, False),
+        pad1(rand, 2.0), pad1(dt_h0, 0.0), pad1(my_gid, -1),
+    )
+
+    def scan_block(blk):
+        bpos, bvel, bh, btype, bgate, brand, bdt, bgid = blk
+        idx, rows, mask, _ = gather_candidates(table, bpos, btype, bh,
+                                               cap=params.cap)
+        d = rows[..., 0:3] - bpos[:, None, :]
+        if box:
+            d = d - box * jnp.round(d / box)
+        r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+        cand_gid = gid_c[idx]
+        ok = (mask & (r < bh[:, None]) & (cand_gid != bgid[:, None])
+              & (~payload_flag(rows)))
+        wk = sph_kernel(r / bh[:, None]) / (bh[:, None] ** 3)
+        rv_vec = bvel[:, None, :] - rows[..., 3:6]
+        rv = jnp.sqrt(jnp.sum(rv_vec * rv_vec, axis=-1))
+        sv = sigma_v_product(rv, time, sigma_co, params.cross_section_type,
+                             params.yukawa_velocity,
+                             params.cross_section_vel_scale,
+                             params.cross_section_pow_law, params.comoving)
+        prob = jnp.where(ok, 0.5 * rows[..., 6] * wk * sv * bdt[:, None],
+                         0.0)
+        cum = jnp.cumsum(prob, axis=1)
+        crossed = bgate[:, None] & (cum >= brand[:, None])
+        any_cross = jnp.any(crossed, axis=1)
+        first = jnp.argmax(crossed, axis=1)
+        pick = jnp.take_along_axis(idx, first[:, None], axis=1)[:, 0]
+        return jnp.where(any_cross, pick, -1), any_cross
+
+    partner_c, hit = lax.map(scan_block, tuple(
+        a.reshape((nb, block) + a.shape[1:]) for a in args))
+    partner_c = partner_c.reshape(-1)[:nloc]   # index into combined arrays
+    hit = hit.reshape(-1)[:nloc]
+
+    # ---- type-4 angular rejection (sidm.c:391-438) ----
+    pc = jnp.clip(partner_c, 0, nloc + hcap - 1)
+    vel_j = payload_c[pc, 3:6]
+    mass_j = payload_c[pc, 6]
+    cos_theta = None
+    if params.cross_section_type == 4:
+        vc = params.yukawa_velocity / jnp.sqrt(time) if params.comoving \
+            else params.yukawa_velocity
+        rel4 = p_l.vel - vel_j
+        rv4 = jnp.sqrt(jnp.sum(rel4 * rel4, axis=-1))
+        beta = rv4 / vc
+        cos_theta = 2.0 * u[:, 2].astype(dtype) - 1.0
+        sin22 = 0.5 * (1.0 - cos_theta)
+        denom = 1.0 + beta * beta * sin22
+        accept = (u[:, 1].astype(dtype) < 1.0 / (denom * denom)) & (rv4 > 0)
+        hit = hit & accept
+
+    proposal_gid = jnp.where(hit & (partner_c >= 0), gid_c[pc], -1)
+
+    # ---- global conflict resolution over gathered proposals ----
+    from ..ops.sidm import _resolve_conflicts
+
+    proposal_g = lax.all_gather(proposal_gid, AXIS, tiled=True)   # (n,)
+    accepted_g = _resolve_conflicts(proposal_g, n)
+    accepted_l = lax.dynamic_slice_in_dim(accepted_g, row0, nloc)
+
+    # ---- kicks (sidm.c:446-452; momentum-exact +-dv) ----
+    rel = p_l.vel - vel_j
+    rv = jnp.sqrt(jnp.sum(rel * rel, axis=-1))
+    nhat = random_directions(key, p_l.pid).astype(dtype)
+    if params.cross_section_type == 4:
+        from ..ops.sidm import _perp_unit
+        sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+        nperp = _perp_unit(rel, nhat)
+        delta = (-rel + cos_theta[:, None] * rel
+                 + (sin_t * rv)[:, None] * nperp)
+    else:
+        delta = -rel + rv[:, None] * nhat
+    mi = p_l.mass
+    msum = jnp.maximum(mi + mass_j, 1e-30)
+    dv_i = (mass_j / msum)[:, None] * delta
+    dv_j = -(mi / msum)[:, None] * delta
+
+    dvel_l = p_l.dvel + jnp.where(accepted_l[:, None], dv_i, 0.0)
+
+    # ---- recoil confirmation exchange (sidm.c:543-603) ----
+    ev_dest = jnp.cumsum(accepted_l.astype(jnp.int32)) - 1
+    n_ev = jnp.sum(accepted_l.astype(jnp.int32))
+    e_ovf = lax.pmax((n_ev > ev_cap).astype(jnp.int32), AXIS) > 0
+    ev_dest = jnp.where(accepted_l & (ev_dest < ev_cap), ev_dest, ev_cap)
+    ev = jnp.zeros((ev_cap + 1, 4), dtype)
+    ev_rows = jnp.concatenate(
+        [_bc_i2f(jnp.where(accepted_l, gid_c[pc], -1))[:, None], dv_j],
+        axis=1)
+    ev = ev.at[ev_dest].set(ev_rows)[:ev_cap]
+    ev_all = lax.all_gather(ev, AXIS, tiled=True)        # (nsh*ev_cap, 4)
+    j_gid = _bc_f2i(ev_all[:, 0])
+    jloc = j_gid - row0
+    mine = (j_gid >= 0) & (jloc >= 0) & (jloc < nloc)
+    dvel_pad = jnp.concatenate([dvel_l, jnp.zeros((1, 3), dtype)], axis=0)
+    dvel_pad = dvel_pad.at[jnp.where(mine, jloc, nloc)].add(
+        jnp.where(mine[:, None], ev_all[:, 1:4], 0.0))
+    dvel_l = dvel_pad[:nloc]
+
+    n_scat = lax.psum(n_ev, AXIS)
+    p_l = dataclasses.replace(p_l, dvel=dvel_l)
+    return p_l, n_scat, HaloStats(n_halo, h_ovf, e_ovf)

@@ -145,7 +145,9 @@ def make_multichip_step(mesh: Mesh, consts, ts_params, *, theta=0.5,
                         opening=1, err_tol_force_acc=0.005,
                         sidm_params=None, box=None, ewald=None,
                         synchronized=True, time_max=1e30, walk_config=None,
-                        depth: int = 10, fused_config=None, pm_kernel=None):
+                        depth: int = 10, fused_config=None, pm_kernel=None,
+                        sidm_halo_cap: int = 0, sidm_event_cap: int = 2048,
+                        halo_pad: float = 1.6):
     """Full sharded timestep: predict -> gravity -> SIDM -> advance ->
     reflect/wrap -> timesteps. Mirrors simulation._build_step on shards.
 
@@ -153,7 +155,12 @@ def make_multichip_step(mesh: Mesh, consts, ts_params, *, theta=0.5,
     + psum; replicated fused-range DSMC). Periodic runs with pm_kernel
     use the TreePM split (sharded screened walk + replicated mesh solve
     + fused-range DSMC with minimum-image); without pm_kernel they fall
-    back to the legacy flat-pair Ewald walk + cell-hash DSMC."""
+    back to the legacy flat-pair Ewald walk + cell-hash DSMC.
+
+    ``sidm_halo_cap > 0`` switches the DSMC pass to the halo-exchange
+    engine (parallel/halo.py): per-device memory O(N/nsh + halo_cap)
+    instead of the gathered O(N) — the interior/export split of
+    density.c:96-108 / sidm.c:141-161."""
     from ..ops.tree import build_octree
     from ..ops.treeforce import WalkConfig, eval_targets
 
@@ -233,7 +240,13 @@ def make_multichip_step(mesh: Mesh, consts, ts_params, *, theta=0.5,
         # zero placeholder, so peak per-device memory stays well below a
         # full-pytree gather. ---
         n_scat = jnp.zeros((), jnp.int32)
-        if sidm_params is not None:
+        if sidm_params is not None and sidm_halo_cap > 0:
+            from .halo import sidm_scatter_halo
+            p_l, n_scat, _stats = sidm_scatter_halo(
+                p_l, pos_pred_l, t_next, active_l, vmax, key, sidm_params,
+                box=(box or 0.0), nsh=nsh, hcap=sidm_halo_cap,
+                ev_cap=sidm_event_cap, halo_pad=halo_pad)
+        elif sidm_params is not None:
             ng_tot = pos.shape[0]
 
             def _zeros3(x):
