@@ -30,6 +30,21 @@ def main(argv=None) -> int:
     else:
         sim.load_ic()
     sim.prepare()
+
+    # multi-chip auto-select (the mpirun -n N analog, main.c:39-53): with
+    # more than one visible device the run loop goes through the sharded
+    # MultichipRunner over the full mesh
+    import jax
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        from .parallel.mesh import make_mesh
+        from .parallel.runner import MultichipRunner
+        runner = MultichipRunner(sim, make_mesh(n_dev))
+        steps = runner.run_sim()
+        print(f"run finished ({n_dev} devices): {steps} steps, "
+              f"t = {runner.time:g}")
+        return 0
+
     steps = sim.run()
     print(f"run finished: {steps} steps, t = {sim.time:g}")
     return 0

@@ -65,6 +65,13 @@ class RangeListConfig(NamedTuple):
     pad_fac: float = 1.2      # radius pad factor over h(record)
     gated_frac: float = 0.3   # static cap on gated targets per step, as a
                               # fraction of n (compaction buffer size)
+    k_dense: int = 96         # two-tier eval: targets with ncand <=
+                              # k_dense run in the dense tier (mean
+                              # flagship demand ~54); the rest run in a
+                              # small full-K tail tier — kills the 7x
+                              # K-padding of a single (ngc, k_cap) tile
+    tail_frac: float = 0.25   # tail-tier capacity as a fraction of the
+                              # gated capacity
 
 
 class SidmCandidates(NamedTuple):
@@ -380,93 +387,124 @@ def record_candidates(tree: Octree, rows_sorted, h_all_sorted,
                           need=need)
 
 
-@partial(jax.jit, static_argnames=("params", "ngc", "box"))
+@partial(jax.jit, static_argnames=("params", "ngc", "ntail", "kd", "box"))
 def _eval_gated(rows, cand, ncand, hs, dts, typs, salt, time, sigma_co,
-                params: SidmParams, ngc: int, box: float = 0.0):
-    """Dense (NGC, K) DSMC tile over the gated targets.
+                params: SidmParams, ngc: int, ntail: int = 0,
+                kd: int = 0, box: float = 0.0):
+    """Two-tier dense DSMC tiles over the gated targets.
+
+    Targets with ncand <= kd run in a (ngc, kd) DENSE tier; the few whose
+    lists are longer run in a (ntail, K) TAIL tier (kd=0 or ntail=0
+    restores the single full-K tile). With flagship mean demand ~54 vs
+    K=384, the dense tier cuts the gathered bytes and padded pair math
+    ~K/kd-fold for ~all targets.
 
     rows: (n,8) sorted pack; hs: (n,) gated search radius (0 = ungated).
-    Returns sorted-space (ptot, cnt, best_key, best_j, n_gated_real)."""
+    Returns sorted-space (ptot, cnt, best_key, best_j, ovf2) with ovf2 =
+    [gated-capacity drops, tail-capacity drops]."""
     n, K = cand.shape[0], cand.shape[1]
     dtype = rows.dtype
+    two_tier = 0 < kd < K and ntail > 0
 
     gate = hs > 0
     idx = jnp.arange(n, dtype=jnp.int32)
-    cpos = jnp.cumsum(gate.astype(jnp.int32))
-    n_gated = cpos[n - 1]
-    dest = jnp.where(gate, cpos - 1, n)
-    gpos = jnp.full(n + 1, 0, jnp.int32).at[dest].set(idx)[:n]
-    tid = jnp.where(idx < jnp.minimum(n_gated, ngc), gpos, -1)[:ngc]
 
-    # blocked tile: the (B, K, 8) gathered-neighbour intermediate at the
-    # full NGC would be ~1 GB; 32768-target blocks keep it ~100 MB
-    B = min(32768, ngc)
-    while ngc % B:
-        B -= 1
+    def compact(mask, cap):
+        cpos = jnp.cumsum(mask.astype(jnp.int32))
+        n_m = cpos[n - 1]
+        dest = jnp.where(mask, cpos - 1, n)
+        gpos = jnp.full(n + 1, 0, jnp.int32).at[dest].set(idx)[:n]
+        tid = jnp.where(idx < jnp.minimum(n_m, cap), gpos, -1)[:cap]
+        return tid, n_m
 
-    def tile(tid_b):
-        tv = tid_b >= 0
-        tidc = jnp.clip(tid_b, 0, n - 1)
-        trow = rows[tidc]                                # (B, 8)
-        th = jnp.where(tv, hs[tidc], 0.0)
-        tdt = jnp.where(tv, dts[tidc], 0.0)
-        cj = cand[tidc]                                  # (B, K)
-        cv = (cj != IMAX) & tv[:, None] \
-            & (jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
-               < ncand[tidc][:, None])
-        cjc = jnp.clip(jnp.where(cv, cj, 0), 0, n - 1)
-        jrow = rows[cjc.reshape(-1)].reshape(B, K, 8)
+    def run_tier(tid, cap, Kt):
+        B = min(32768, cap)
+        while cap % B:
+            B -= 1
 
-        d0 = trow[:, None, 0] - jrow[..., 0]
-        d1 = trow[:, None, 1] - jrow[..., 1]
-        d2 = trow[:, None, 2] - jrow[..., 2]
-        if box:
-            d0 = d0 - box * jnp.round(d0 / box)
-            d1 = d1 - box * jnp.round(d1 / box)
-            d2 = d2 - box * jnp.round(d2 / box)
-        r = jnp.sqrt(d0 * d0 + d1 * d1 + d2 * d2)
+        def tile(tid_b):
+            tv = tid_b >= 0
+            tidc = jnp.clip(tid_b, 0, n - 1)
+            trow = rows[tidc]                                # (B, 8)
+            th = jnp.where(tv, hs[tidc], 0.0)
+            tdt = jnp.where(tv, dts[tidc], 0.0)
+            cj = cand[tidc, :Kt]                             # (B, Kt)
+            cv = (cj != IMAX) & tv[:, None] \
+                & (jax.lax.broadcasted_iota(jnp.int32, (B, Kt), 1)
+                   < ncand[tidc][:, None])
+            cjc = jnp.clip(jnp.where(cv, cj, 0), 0, n - 1)
+            jrow = rows[cjc.reshape(-1)].reshape(B, Kt, 8)
 
-        s_pend = jrow[..., 7] >= 8.0
-        ok = cv & (r < th[:, None]) & (~s_pend)
-        h_safe = jnp.maximum(th, 1e-30)[:, None]
-        wk = sph_kernel(r / h_safe) / h_safe ** 3
+            d0 = trow[:, None, 0] - jrow[..., 0]
+            d1 = trow[:, None, 1] - jrow[..., 1]
+            d2 = trow[:, None, 2] - jrow[..., 2]
+            if box:
+                d0 = d0 - box * jnp.round(d0 / box)
+                d1 = d1 - box * jnp.round(d1 / box)
+                d2 = d2 - box * jnp.round(d2 / box)
+            r = jnp.sqrt(d0 * d0 + d1 * d1 + d2 * d2)
 
-        w0 = trow[:, None, 3] - jrow[..., 3]
-        w1 = trow[:, None, 4] - jrow[..., 4]
-        w2 = trow[:, None, 5] - jrow[..., 5]
-        rv = jnp.sqrt(w0 * w0 + w1 * w1 + w2 * w2)
-        sgv = sigma_v_product(rv, time, sigma_co,
-                              params.cross_section_type,
-                              params.yukawa_velocity,
-                              params.cross_section_vel_scale,
-                              params.cross_section_pow_law,
-                              params.comoving)
-        prob = jnp.where(ok, 0.5 * jrow[..., 6] * wk * sgv
-                         * tdt[:, None], 0.0)
-        key = jnp.where(
-            prob > 0,
-            jnp.log(jnp.maximum(prob, 1e-37)).astype(jnp.float32)
-            + _pair_gumbel(tid_b[:, None], cjc, salt),
-            -jnp.inf)
-        ptot_b = jnp.sum(prob, axis=-1)
-        cnt_b = jnp.sum(ok.astype(jnp.int32), axis=-1)
-        km = jnp.max(key, axis=-1)
-        jm = jnp.max(jnp.where(key == km[:, None], cjc, -1), axis=-1)
-        jm = jnp.where(jnp.isfinite(km), jm, -1)
-        return ptot_b, cnt_b, km, jm
+            s_pend = jrow[..., 7] >= 8.0
+            ok = cv & (r < th[:, None]) & (~s_pend)
+            h_safe = jnp.maximum(th, 1e-30)[:, None]
+            wk = sph_kernel(r / h_safe) / h_safe ** 3
 
-    ptot_g, cnt_g, km, jm = lax.map(tile, tid.reshape(ngc // B, B))
-    ptot_g, cnt_g, km, jm = (x.reshape(ngc) for x in
-                             (ptot_g, cnt_g, km, jm))
+            w0 = trow[:, None, 3] - jrow[..., 3]
+            w1 = trow[:, None, 4] - jrow[..., 4]
+            w2 = trow[:, None, 5] - jrow[..., 5]
+            rv = jnp.sqrt(w0 * w0 + w1 * w1 + w2 * w2)
+            sgv = sigma_v_product(rv, time, sigma_co,
+                                  params.cross_section_type,
+                                  params.yukawa_velocity,
+                                  params.cross_section_vel_scale,
+                                  params.cross_section_pow_law,
+                                  params.comoving)
+            prob = jnp.where(ok, 0.5 * jrow[..., 6] * wk * sgv
+                             * tdt[:, None], 0.0)
+            key = jnp.where(
+                prob > 0,
+                jnp.log(jnp.maximum(prob, 1e-37)).astype(jnp.float32)
+                + _pair_gumbel(tid_b[:, None], cjc, salt),
+                -jnp.inf)
+            ptot_b = jnp.sum(prob, axis=-1)
+            cnt_b = jnp.sum(ok.astype(jnp.int32), axis=-1)
+            km = jnp.max(key, axis=-1)
+            jm = jnp.max(jnp.where(key == km[:, None], cjc, -1), axis=-1)
+            jm = jnp.where(jnp.isfinite(km), jm, -1)
+            return ptot_b, cnt_b, km, jm
 
-    # scatter back to sorted space
-    tdst = jnp.where(tid >= 0, tid, n)
-    ptot = jnp.zeros(n + 1, dtype).at[tdst].set(ptot_g)[:n]
-    cnt = jnp.zeros(n + 1, jnp.int32).at[tdst].set(cnt_g)[:n]
-    bestk = jnp.full(n + 1, -jnp.inf, jnp.float32).at[tdst].set(km)[:n]
-    bestj = jnp.full(n + 1, -1, jnp.int32).at[tdst].set(jm)[:n]
-    ovf_g = jnp.maximum(n_gated - ngc, 0)
-    return ptot, cnt, bestk, bestj, ovf_g
+        ptot_g, cnt_g, km, jm = lax.map(tile, tid.reshape(cap // B, B))
+        return (x.reshape(cap) for x in (ptot_g, cnt_g, km, jm))
+
+    ptot = jnp.zeros(n + 1, dtype)
+    cnt = jnp.zeros(n + 1, jnp.int32)
+    bestk = jnp.full(n + 1, -jnp.inf, jnp.float32)
+    bestj = jnp.full(n + 1, -1, jnp.int32)
+
+    if two_tier:
+        tail = gate & (ncand > kd)
+        tidA, nA = compact(gate & ~tail, ngc)
+        tidB, nB = compact(tail, ntail)
+        for tid, cap, Kt in ((tidA, ngc, kd), (tidB, ntail, K)):
+            ptot_g, cnt_g, km, jm = run_tier(tid, cap, Kt)
+            tdst = jnp.where(tid >= 0, tid, n)
+            ptot = ptot.at[tdst].set(ptot_g)
+            cnt = cnt.at[tdst].set(cnt_g)
+            bestk = bestk.at[tdst].set(km)
+            bestj = bestj.at[tdst].set(jm)
+        ovf2 = jnp.stack([jnp.maximum(nA - ngc, 0),
+                          jnp.maximum(nB - ntail, 0)])
+    else:
+        tid, n_gated = compact(gate, ngc)
+        ptot_g, cnt_g, km, jm = run_tier(tid, ngc, K)
+        tdst = jnp.where(tid >= 0, tid, n)
+        ptot = ptot.at[tdst].set(ptot_g)
+        cnt = cnt.at[tdst].set(cnt_g)
+        bestk = bestk.at[tdst].set(km)
+        bestj = bestj.at[tdst].set(jm)
+        ovf2 = jnp.stack([jnp.maximum(n_gated - ngc, 0),
+                          jnp.zeros((), jnp.int32)])
+    return ptot[:n], cnt[:n], bestk[:n], bestj[:n], ovf2
 
 
 def candidates_valid(cands: SidmCandidates, pos_sorted, h_eff_sorted):
@@ -510,10 +548,13 @@ def sidm_scatter_lists(p, pos_pred, tree: Octree, cands: SidmCandidates,
 
     ngc = int(rcfg.gated_frac * n)
     ngc = max(4096, -(-ngc // 4096) * 4096)
+    ntail = int(rcfg.tail_frac * ngc)
+    ntail = max(4096, -(-ntail // 4096) * 4096)
+    kd = min(int(rcfg.k_dense), rcfg.k_cap)
     ptot_t, cnt_t, best_t, bj_t, ovf_g = _eval_gated(
         rows, cands.cand, cands.ncand, hs, dts, typs,
         jnp.asarray(salt, jnp.uint32), time, sigma_co, params, ngc,
-        float(box))
+        ntail, kd, float(box))
 
     inv = jnp.zeros(n, jnp.int32).at[tree.perm].set(
         jnp.arange(n, dtype=jnp.int32))

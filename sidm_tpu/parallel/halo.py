@@ -60,6 +60,7 @@ class HaloStats(NamedTuple):
     n_halo: jax.Array          # halo rows collected on this device
     halo_overflow: jax.Array   # bool: halo cap exceeded somewhere
     event_overflow: jax.Array  # bool: recoil-event cap exceeded somewhere
+    window_overflow: jax.Array  # bool: k-NN growth exceeded round-2 window
 
 
 def _bc_i2f(x):
@@ -206,12 +207,16 @@ def sidm_scatter_halo(p_l: Particles, pos_pred_l, time, active_l, vmax, key,
     # truncated candidate set; re-export at the refreshed width and redo.
     # Two static rounds replace the reference's iterate-until-in-band
     # loop; h drifts slowly per step, so round 2 is always conclusive in
-    # steady state (residual growth is telemetered, never silent). ----
+    # steady state (residual growth raises HaloStats.window_overflow,
+    # never silent). ----
     hw2 = halo_pad * jnp.max(jnp.where(
         coll, jnp.maximum(SCAT_KERNEL_FACTOR * h1, h_scat0), 0.0))
     table, gid_c, payload_c, n_halo, ovf2 = _collect_and_table(hw2)
     h_new, cnt_new = _knn(table, jnp.where(p_l.hsml_vd > 0, h1, warm))
     h_ovf = lax.pmax((ovf1 | ovf2).astype(jnp.int32), AXIS) > 0
+    w_need = halo_pad * jnp.max(
+        jnp.where(coll, SCAT_KERNEL_FACTOR * h_new, 0.0))
+    w_ovf = lax.pmax((w_need > hw2).astype(jnp.int32), AXIS) > 0
 
     upd = p_l.is_collisionless & active_l
     p_l = dataclasses.replace(
@@ -324,13 +329,17 @@ def sidm_scatter_halo(p_l: Particles, pos_pred_l, time, active_l, vmax, key,
     dv_i = (mass_j / msum)[:, None] * delta
     dv_j = -(mi / msum)[:, None] * delta
 
-    dvel_l = p_l.dvel + jnp.where(accepted_l[:, None], dv_i, 0.0)
-
-    # ---- recoil confirmation exchange (sidm.c:543-603) ----
+    # ---- recoil confirmation exchange (sidm.c:543-603). A proposal
+    # whose event row would overflow ev_cap is suppressed ENTIRELY
+    # (dv_i too): overflow loses scatterings but never breaks global
+    # momentum, which stays exact by construction. ----
     ev_dest = jnp.cumsum(accepted_l.astype(jnp.int32)) - 1
+    n_acc = jnp.sum(accepted_l.astype(jnp.int32))
+    e_ovf = lax.pmax((n_acc > ev_cap).astype(jnp.int32), AXIS) > 0
+    accepted_l = accepted_l & (ev_dest < ev_cap)
     n_ev = jnp.sum(accepted_l.astype(jnp.int32))
-    e_ovf = lax.pmax((n_ev > ev_cap).astype(jnp.int32), AXIS) > 0
-    ev_dest = jnp.where(accepted_l & (ev_dest < ev_cap), ev_dest, ev_cap)
+    ev_dest = jnp.where(accepted_l, ev_dest, ev_cap)
+    dvel_l = p_l.dvel + jnp.where(accepted_l[:, None], dv_i, 0.0)
     ev = jnp.zeros((ev_cap + 1, 4), dtype)
     ev_rows = jnp.concatenate(
         [_bc_i2f(jnp.where(accepted_l, gid_c[pc], -1))[:, None], dv_j],
@@ -347,4 +356,4 @@ def sidm_scatter_halo(p_l: Particles, pos_pred_l, time, active_l, vmax, key,
 
     n_scat = lax.psum(n_ev, AXIS)
     p_l = dataclasses.replace(p_l, dvel=dvel_l)
-    return p_l, n_scat, HaloStats(n_halo, h_ovf, e_ovf)
+    return p_l, n_scat, HaloStats(n_halo, h_ovf, e_ovf, w_ovf)

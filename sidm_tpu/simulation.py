@@ -960,6 +960,12 @@ class Simulation:
                     self.particles, vmax)
             else:
                 self._lists_cache = lists
+                # DIAG interaction counters (gravtree.c:356-393): nodes
+                # and particle segments each of the group's targets
+                # interacts with per step — constant between rebuilds
+                nlive = np.asarray(lists.gvalid).sum(axis=1)
+                self._diag_far = int((np.asarray(lists.nf) * nlive).sum())
+                self._diag_near = int((np.asarray(lists.nn) * nlive).sum())
             self._refresh_left = refresh_steps - 1
             self._steps_since_build = 0
         else:
@@ -1087,6 +1093,10 @@ class Simulation:
                         self._sidm_cands = None
                         use_sidm_lists = False
                         break
+                # the candidate re-record is the ensure_neighbours analog
+                # (sidm.c:814-968) — its own CpuLog bucket (EnsureNgb)
+                _mark("sidmrec", self._sidm_cands.cand
+                      if self._sidm_cands is not None else n_scat)
             if use_sidm_lists and self._sidm_cands is not None:
                 if getattr(self, "_sidm_lists_jit", None) is None:
                     from functools import partial as _partial
@@ -1117,20 +1127,29 @@ class Simulation:
                 # drifted cycle costs variance, never bias (no forced
                 # rebuild; the force-list displacement monitor owns the
                 # rebuild cadence)
-                if int(ovf_g) > 0:
-                    # gated-target compaction buffer too small: this
-                    # step under-sampled the DSMC targets. Grow the
-                    # fraction and re-jit; the biased step is reported.
+                ovf_g = np.asarray(ovf_g)
+                if int(ovf_g[0]) > 0 or int(ovf_g[1]) > 0:
+                    # a compaction buffer was too small: this step
+                    # under-sampled the DSMC targets. Grow the affected
+                    # tier's capacity and re-jit; the biased step is
+                    # reported.
                     from .ops.list_range import RangeListConfig
                     cur = getattr(self, "_sidm_rcfg", None) \
                         or RangeListConfig()
-                    self._sidm_rcfg = cur._replace(
-                        gated_frac=min(1.0, 1.6 * cur.gated_frac))
+                    new = cur
+                    if int(ovf_g[0]) > 0:
+                        new = new._replace(
+                            gated_frac=min(1.0, 1.6 * new.gated_frac))
+                    if int(ovf_g[1]) > 0:
+                        new = new._replace(
+                            tail_frac=min(1.0, 1.6 * new.tail_frac))
+                    self._sidm_rcfg = new
                     self._sidm_lists_jit = None
-                    print(f"WARNING: gated-target cap exceeded by "
-                          f"{int(ovf_g)} this step (targets dropped); "
-                          f"gated_frac -> "
-                          f"{self._sidm_rcfg.gated_frac:.2f}.",
+                    print(f"WARNING: gated/tail target caps exceeded by "
+                          f"{int(ovf_g[0])}/{int(ovf_g[1])} this step "
+                          f"(targets dropped); gated_frac -> "
+                          f"{new.gated_frac:.2f}, tail_frac -> "
+                          f"{new.tail_frac:.2f}.",
                           file=_sys.stderr, flush=True)
             elif self.cfg.ForceMethod == "tree":
                 if self.cfg.TreeWalkEngine == "wq":
@@ -1334,7 +1353,10 @@ class Simulation:
             # snapshot cadence (run.c:61-74)
             if cfg.TimeBetSnapshot > 0 and \
                     self.time - self.time_of_first_snapshot >= 0:
+                t_sn = _wallclock.perf_counter()
                 self.write_snapshot_file(self.snapshot_count)
+                self.cpu_log.add("Snapshot",
+                                 _wallclock.perf_counter() - t_sn)
                 self.snapshot_count += 1
                 if cfg.OutputListOn and cfg.OutputListTimes:
                     nxt = [t for t in cfg.OutputListTimes if t > self.time]
@@ -1358,6 +1380,7 @@ class Simulation:
                 self.cpu_log.add("Gravity", phases.get("force", 0.0))
                 self.cpu_log.add("Sidm", phases.get("sidm", 0.0)
                                  + phases.get("veldisp", 0.0))
+                self.cpu_log.add("EnsureNgb", phases.get("sidmrec", 0.0))
                 self.cpu_log.add("Hydro", phases.get("gas", 0.0))
                 self.cpu_log.add("TimeLine", phases.get("finish", 0.0))
                 rest = step_wall - sum(phases.values())
@@ -1370,6 +1393,8 @@ class Simulation:
                 self.cpu_log.add("Gravity", step_wall)
             self.cpu_log.write(self.step_count, self.time)
             self.timings_log.write(self.step_count, self.time, n_active,
+                                   n_pairs=getattr(self, "_diag_far", 0),
+                                   n_segs=getattr(self, "_diag_near", 0),
                                    wall_s=step_wall)
 
             # interruption checks (run.c:152-202)
@@ -1461,9 +1486,18 @@ class Simulation:
         return pot
 
     def energy_statistics(self):
-        self.compute_potential()
+        log = getattr(self, "cpu_log", None) if self._logs_open else None
+        t0 = _wallclock.perf_counter()
+        pot = self.compute_potential()
+        jax.block_until_ready(pot)
+        if log is not None:
+            log.add("Potential", _wallclock.perf_counter() - t0)
+        t0 = _wallclock.perf_counter()
         sys = compute_system_state(self.particles)
-        self.energy_log.write(self.time, jax.tree.map(np.asarray, sys))
+        sys = jax.tree.map(np.asarray, sys)
+        self.energy_log.write(self.time, sys)
+        if log is not None:
+            log.add("Diagnostic", _wallclock.perf_counter() - t0)
         return sys
 
     def write_restart_file(self):

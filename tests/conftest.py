@@ -21,6 +21,30 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (long statistical validations)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long statistical/large-N validation (skipped unless "
+        "--runslow or RUN_SLOW=1) — keeps the default suite fast so "
+        "green-at-HEAD is cheap to check")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow: pass --runslow (or RUN_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 _TEST_COUNT = {"n": 0}
 
 

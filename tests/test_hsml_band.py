@@ -29,6 +29,8 @@ scripts/validate_hsml_band.py; its result is recorded in PARITY.md.
 
 import dataclasses
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -97,6 +99,7 @@ def _rates(p0, params, tree, mode, seed=17):
     return np.asarray(counts)
 
 
+@pytest.mark.slow
 def test_controller_rate_matches_exact_band():
     p, params, tree = _setup()
     c_ctrl = _rates(p, params, tree, "controller")

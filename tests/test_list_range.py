@@ -52,7 +52,7 @@ def test_matches_range_walk_exactly():
     p_l, ns_l, viol, ovf_g = sidm_scatter_lists(p, p.pos, tree, cands, t,
                                                 p.valid, vmax, key, params,
                                                 salt=5, box=1.0)
-    assert int(ovf_g) == 0
+    assert int(np.asarray(ovf_g).sum()) == 0
     assert int(ns_l) == int(ns_w)
     np.testing.assert_array_equal(np.asarray(p_l.ngb_vd),
                                   np.asarray(p_w.ngb_vd))
