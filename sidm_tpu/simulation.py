@@ -1070,13 +1070,27 @@ class Simulation:
                             and rc.k_cap >= self._SIDM_K_CEILING):
                         # only K truncation left, cap at ceiling: accept
                         # — the affected targets' controllers self-limit
-                        # (see _SIDM_K_CEILING)
+                        # (see _SIDM_K_CEILING). QUANTIFY the accepted
+                        # bias: candidates dropped (ovf[1]) as a fraction
+                        # of all recorded candidates ~ the scattering-
+                        # probability mass the truncated lists can lose
+                        # this cycle (upper bound; kernel weights fall
+                        # with r, so dropped FAR candidates weigh less).
+                        ncand_tot = int(np.asarray(cands.ncand).sum())
+                        n_trunc = int((np.asarray(cands.ncand)
+                                       >= rc.k_cap).sum())
+                        frac = int(covf[1]) / max(ncand_tot, 1)
+                        self.sidm_trunc_frac = frac
+                        self.sidm_trunc_targets = n_trunc
                         if not getattr(self, "_sidm_k_warned", False):
                             self._sidm_k_warned = True
                             print(f"NOTE: SIDM candidate lists truncate "
-                                  f"at K={rc.k_cap} for outlier targets "
-                                  f"(demand {int(need[1])}); their hsml "
-                                  f"controllers will shrink h.",
+                                  f"at K={rc.k_cap} for {n_trunc} outlier "
+                                  f"targets (demand {int(need[1])}); "
+                                  f"dropped candidates = {frac:.2%} of "
+                                  f"recorded probability mass (upper "
+                                  f"bound); their hsml controllers will "
+                                  f"shrink h.",
                                   file=_sys.stderr, flush=True)
                         self._sidm_cands = cands
                         break

@@ -58,21 +58,24 @@ def _run_rate(p, params, dt, n_steps, box=1.0, seed=11):
 
 
 def test_hard_sphere_rate_matches_analytic():
-    n = 4096
+    """The 3%-grade CI rate check: small per-step event fraction (so the
+    one-scatter-per-particle conflict loss stays ~0.4%, first-order in
+    that fraction) and ~9k total events (~1.1% Poisson). The 1%-grade
+    validation at N=1e5 across all five cross-section types runs on TPU
+    via scripts/validate_rate.py (results in BASELINE.md)."""
+    n = 16384
     s_vel = 1.0
     sigma = 1.0           # internal sigma/m
-    dt = 0.02
+    dt = 0.008
     p = _uniform_box(n, s_vel)
     params = _params(0, sigma)
-    n_steps = 60
+    n_steps = 120
     events = _run_rate(p, params, dt, n_steps)
 
     rho = 1.0  # total mass 1 in unit box
     v_rel_mean = 2.0 * np.sqrt(2.0) * s_vel * np.sqrt(2.0 / np.pi)
     expected = 0.5 * rho * sigma * v_rel_mean * dt * n * n_steps
-    # kernel-estimate + pair-conflict corrections put this at the few-% level;
-    # the 1%-grade check runs at larger N in the benchmark harness
-    assert events == pytest.approx(expected, rel=0.08), \
+    assert events == pytest.approx(expected, rel=0.03), \
         (events, expected)
 
 
