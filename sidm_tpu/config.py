@@ -184,6 +184,16 @@ class SimConfig:
     # octree (ops/fused_sph.py), "auto" = fused whenever the force tree
     # is available. The synchronized small-N step always uses "cell".
     SphEngine: str = "auto"
+    # Multi-chip distributed mode (parallel/step.py): "replicated" =
+    # all-gather + full tree on every device with group-sharded targets
+    # + psum (the throughput default); "ring" = local per-shard octrees
+    # with target bunches circulating over a ppermute ring
+    # (gravtree.c:171-222's design) — per-device memory O(N/nsh), needed
+    # once N no longer fits one device. Ring mode with SIDM requires
+    # SidmHaloCap > 0 (the halo-exchange DSMC engine, parallel/halo.py).
+    ShardedGravity: str = "replicated"
+    SidmHaloCap: int = 0                # >0: halo-exchange DSMC capacity
+    SidmEventCap: int = 2048            # cross-shard recoil event rows
 
     # --- derived (set by set_units / read_ic; not parameter-file tags) ---
     OutputListTimes: List[float] = field(default_factory=list)
@@ -212,7 +222,7 @@ _OPTIONAL_TAGS = {
     "ForceMethod", "Precision", "SnapFormatOut", "EwaldGridSize",
     "TreeRefreshSteps", "PMGrid", "PMAsmth", "PMRcutFac", "PMInterlace",
     "TreeWalkEngine", "SphEngine", "ListMode", "ListFarCap", "ListNearCap",
-    "PMVacuum",
+    "PMVacuum", "ShardedGravity", "SidmHaloCap", "SidmEventCap",
 }
 
 

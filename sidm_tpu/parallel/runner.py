@@ -122,7 +122,10 @@ class MultichipRunner:
             err_tol_force_acc=cfg.ErrTolForceAcc,
             sidm_params=sidm_params, box=box or None,
             synchronized=(sim.mode != "individual"),
-            time_max=cfg.TimeMax))
+            time_max=cfg.TimeMax,
+            gravity=cfg.ShardedGravity,
+            sidm_halo_cap=int(cfg.SidmHaloCap),
+            sidm_event_cap=int(cfg.SidmEventCap)))
         self._reshard = make_reshard(self.mesh, box=box)
         self.particles = shard_particles(sim.particles, self.mesh)
         self.vmax = jnp.asarray(sim.vmax, jnp.float32)
