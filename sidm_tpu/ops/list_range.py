@@ -71,7 +71,12 @@ class RangeListConfig(NamedTuple):
                               # small full-K tail tier — kills the 7x
                               # K-padding of a single (ngc, k_cap) tile
     tail_frac: float = 0.25   # tail-tier capacity as a fraction of the
-                              # gated capacity
+                              # gated capacity (fallback when tail_cap=0)
+    tail_cap: int = 0         # absolute tail-tier capacity; the driver
+                              # auto-fits it per record from the actual
+                              # count of long lists (ncand > k_dense) so
+                              # the tail tile isn't padded to a
+                              # worst-case fraction
 
 
 class SidmCandidates(NamedTuple):
@@ -548,7 +553,7 @@ def sidm_scatter_lists(p, pos_pred, tree: Octree, cands: SidmCandidates,
 
     ngc = int(rcfg.gated_frac * n)
     ngc = max(4096, -(-ngc // 4096) * 4096)
-    ntail = int(rcfg.tail_frac * ngc)
+    ntail = int(rcfg.tail_cap) or int(rcfg.tail_frac * ngc)
     ntail = max(4096, -(-ntail // 4096) * 4096)
     kd = min(int(rcfg.k_dense), rcfg.k_cap)
     ptot_t, cnt_t, best_t, bj_t, ovf_g = _eval_gated(

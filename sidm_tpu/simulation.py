@@ -1107,6 +1107,21 @@ class Simulation:
                         self._sidm_cands = None
                         use_sidm_lists = False
                         break
+                if self._sidm_cands is not None:
+                    # auto-fit the tail-tier capacity to the measured
+                    # count of long candidate lists, so the full-K tail
+                    # tile isn't padded to a worst-case fraction
+                    from .ops.list_range import RangeListConfig
+                    rc = getattr(self, "_sidm_rcfg", None) \
+                        or RangeListConfig()
+                    n_long = int((np.asarray(self._sidm_cands.ncand)
+                                  > min(rc.k_dense, rc.k_cap)).sum())
+                    fit = max(4096, self._round_cap(1.3 * n_long, 4096))
+                    # grow-only (a re-jit costs minutes; shrinking saves
+                    # little once fitted)
+                    if rc.tail_cap == 0 or fit > rc.tail_cap:
+                        self._sidm_rcfg = rc._replace(tail_cap=fit)
+                        self._sidm_lists_jit = None
                 # the candidate re-record is the ensure_neighbours analog
                 # (sidm.c:814-968) — its own CpuLog bucket (EnsureNgb)
                 _mark("sidmrec", self._sidm_cands.cand

@@ -106,3 +106,33 @@ def test_momentum_energy_per_event():
     dv = np.asarray(p_l.dvel)
     # pairwise +/- kicks: total momentum change is zero
     np.testing.assert_allclose((m * dv).sum(0), 0.0, atol=1e-4)
+
+
+def test_two_tier_eval_matches_walk():
+    """Force the tail tier to carry real targets (k_dense far below the
+    typical list length): the two-tier split must still reproduce the
+    range walk exactly — same gates, same Gumbel keys, same kicks."""
+    p, params, tree, eps = _setup(4096, seed=4, sigma=4.0)
+    t = jnp.float32(0.02)
+    vmax = jnp.sqrt(jnp.max(jnp.sum(p.vel ** 2, -1)))
+    key = run_key(8, 2)
+    rcfg = RangeListConfig(k_dense=48, tail_frac=1.0, k_cap=512)
+    cands = record_candidates_from_particles(p, p.pos, tree, skin=0.0,
+                                             params=params, box=1.0,
+                                             rcfg=rcfg)
+    assert int(np.asarray(cands.ovf).sum()) == 0
+    # the split actually exercises both tiers
+    ncand = np.asarray(cands.ncand)
+    assert (ncand > 48).sum() > 100 and (ncand <= 48).sum() > 100
+
+    p_w, ns_w = sidm_scatter_fused(p, p.pos, tree, t, p.valid, vmax, key,
+                                   params, salt=7, box=1.0)
+    p_l, ns_l, viol, ovf_g = sidm_scatter_lists(p, p.pos, tree, cands, t,
+                                                p.valid, vmax, key, params,
+                                                salt=7, box=1.0, rcfg=rcfg)
+    assert int(np.asarray(ovf_g).sum()) == 0
+    assert int(ns_l) == int(ns_w)
+    np.testing.assert_array_equal(np.asarray(p_l.ngb_vd),
+                                  np.asarray(p_w.ngb_vd))
+    np.testing.assert_allclose(np.asarray(p_l.dvel), np.asarray(p_w.dvel),
+                               rtol=1e-5, atol=1e-7)
