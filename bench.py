@@ -68,10 +68,14 @@ def main():
     print(f"# prepare (first force + hsml + compile): {time.time()-t0:.1f}s",
           file=sys.stderr)
 
-    # warm-up step (compile the non-first path)
+    # warm-up steps: compile the non-first path AND absorb the skin
+    # ramp-up transient (the first rebuild cycle is short while the
+    # displacement rate is being learned); the measured window still
+    # spans one full rebuild cadence
     t0 = time.time()
-    sim.step()
-    print(f"# warmup step: {time.time()-t0:.1f}s", file=sys.stderr)
+    for _ in range(3):
+        sim.step()
+    print(f"# warmup steps: {time.time()-t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
     for _ in range(STEPS):

@@ -87,8 +87,12 @@ def main():
     key = run_key(3, 3)
     rcfg = RangeListConfig()
 
-    rec = jax.jit(lambda: record_candidates_from_particles(
-        p, p.pos, tree, skin=0.5, params=params, box=0.0, rcfg=rcfg))
+    def rec():
+        # host glue over the inner jits (an outer jit would inline the
+        # particle arrays as HLO constants -> remote-compile HTTP 413)
+        return record_candidates_from_particles(
+            p, p.pos, tree, skin=jnp.float32(0.5), params=params,
+            box=0.0, rcfg=rcfg)
     cands, _ = timeit("record_candidates (skin=0.5)", rec, reps=1)
     ncand = np.asarray(cands.ncand)
     n_long = int((ncand > rcfg.k_dense).sum())
@@ -99,13 +103,15 @@ def main():
                                       * 4096))
     print(f"  tail_cap fitted: {rcfg.tail_cap}", flush=True)
 
-    full = jax.jit(lambda salt: sidm_scatter_lists(
-        p, p.pos, tree, cands, t_next, active, vmax, key, params,
-        salt=salt, box=0.0, rcfg=rcfg)[0].dvel)
+    def full(salt):
+        return sidm_scatter_lists(
+            p, p.pos, tree, cands, t_next, active, vmax, key, params,
+            salt=salt, box=0.0, rcfg=rcfg)[0].dvel
     timeit("sidm_scatter_lists FULL", full, jnp.uint32(3))
 
-    prep = jax.jit(lambda: _tree_sidm_prep(p, p.pos, tree.perm, t_next,
-                                           active, vmax, key, params))
+    def prep():
+        return _tree_sidm_prep(p, p.pos, tree.perm, t_next, active, vmax,
+                               key, params)
     (rows, hs, dts, typs, sigma_co, scan, h_eff, p_max, rand), _ = \
         timeit("  _tree_sidm_prep", prep)
     print(f"  gated: {int(np.asarray(scan).sum())} of {N}", flush=True)
@@ -114,22 +120,26 @@ def main():
     ngc = max(4096, -(-int(rcfg.gated_frac * n) // 4096) * 4096)
     kd = min(rcfg.k_dense, rcfg.k_cap)
 
-    ev2 = jax.jit(lambda salt: _eval_gated(
-        rows, cands.cand, cands.ncand, hs, dts, typs, salt, t_next,
-        sigma_co, params, ngc, rcfg.tail_cap, kd, 0.0))
+    def ev2(salt):
+        return _eval_gated(rows, cands.cand, cands.ncand, hs, dts, typs,
+                           salt, t_next, sigma_co, params, ngc,
+                           rcfg.tail_cap, kd, 0.0)
     (ptot_t, cnt_t, best_t, bj_t, ovf2), _ = timeit(
         "  _eval_gated two-tier", ev2, jnp.uint32(3))
 
-    ev1 = jax.jit(lambda salt: _eval_gated(
-        rows, cands.cand, cands.ncand, hs, dts, typs, salt, t_next,
-        sigma_co, params, ngc, 0, 0, 0.0))
+    def ev1(salt):
+        return _eval_gated(rows, cands.cand, cands.ncand, hs, dts, typs,
+                           salt, t_next, sigma_co, params, ngc, 0, 0,
+                           0.0)
     timeit("  _eval_gated single-tile (old)", ev1, jnp.uint32(3))
 
     inv = jnp.zeros(n, jnp.int32).at[tree.perm].set(
         jnp.arange(n, dtype=jnp.int32))
-    fin = jax.jit(lambda: _tree_sidm_finish(
-        p, p.pos, tree.perm, inv, ptot_t, best_t, cnt_t, bj_t, t_next,
-        active, scan, p_max, rand, vmax, key, params, False)[0].dvel)
+    def fin():
+        return _tree_sidm_finish(
+            p, p.pos, tree.perm, inv, ptot_t, best_t, cnt_t, bj_t,
+            t_next, active, scan, p_max, rand, vmax, key, params,
+            False)[0].dvel
     timeit("  _tree_sidm_finish", fin)
 
 

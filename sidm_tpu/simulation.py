@@ -840,13 +840,17 @@ class Simulation:
         from .ops.sidm_tree import sidm_scatter_tree
 
         def _mark(label, *sync):
-            # FdCPU-style per-phase wall timing (run.c:250-285). The
-            # block_until_ready syncs serialize host dispatch against the
-            # device at phase boundaries — negligible when phases run for
-            # milliseconds-to-seconds of device time, and they make the
-            # CpuLog buckets real measurements instead of dispatch times.
+            # FdCPU-style per-phase wall timing (run.c:250-285). On the
+            # axon remote backend block_until_ready can return before
+            # the device queue drains, so a ONE-ELEMENT host transfer is
+            # added as the true barrier (the whole-array transfer would
+            # cost more than the phases being measured).
             for x in sync:
                 jax.block_until_ready(x)
+                leaves = jax.tree_util.tree_leaves(x)
+                if leaves and hasattr(leaves[-1], "ravel") \
+                        and getattr(leaves[-1], "size", 0) > 0:
+                    np.asarray(leaves[-1].ravel()[0:1])
             now = _wallclock.perf_counter()
             if label:
                 self.last_phase_wall[label] = (
@@ -927,10 +931,18 @@ class Simulation:
             self._tree_cache = None
             self._sidm_cands = None
             # skin for the coming cycle: drift rate (per unit time) x
-            # the expected cycle span (last dt x K), with a 2.5 safety
-            self._skin_now = (2.5 * self._disp_rate
-                              * getattr(self, "_last_dt", 0.0)
-                              * refresh_steps)
+            # the expected cycle span (last dt x K), with a 2.5 safety.
+            # Floor at a fraction of the deepest cell size: before the
+            # drift rate is learned (first cycle) the skin would be 0
+            # and the validity monitor would force a rebuild after ONE
+            # step (a ~27 s transient at flagship scale).
+            floor = 0.0
+            if self._tree_cache is not None:
+                floor = 0.5 * (float(self._tree_cache.extent)
+                               / (1 << self._tree_cache.depth))
+            self._skin_now = max(2.5 * self._disp_rate
+                                 * getattr(self, "_last_dt", 0.0)
+                                 * refresh_steps, floor)
             p, t_next, active, pos_pred, vel_pred, tree, lists = \
                 phase_force_record(self.particles, vmax,
                                    jnp.asarray(self._skin_now, self.dtype))
@@ -962,10 +974,12 @@ class Simulation:
                 self._lists_cache = lists
                 # DIAG interaction counters (gravtree.c:356-393): nodes
                 # and particle segments each of the group's targets
-                # interacts with per step — constant between rebuilds
-                nlive = np.asarray(lists.gvalid).sum(axis=1)
-                self._diag_far = int((np.asarray(lists.nf) * nlive).sum())
-                self._diag_near = int((np.asarray(lists.nn) * nlive).sum())
+                # interacts with per step — constant between rebuilds.
+                # Device-side reductions (full-array host pulls cost
+                # seconds through the axon tunnel).
+                nlive = jnp.sum(lists.gvalid.astype(jnp.int32), axis=1)
+                self._diag_far = int(jnp.sum(lists.nf * nlive))
+                self._diag_near = int(jnp.sum(lists.nn * nlive))
             self._refresh_left = refresh_steps - 1
             self._steps_since_build = 0
         else:
@@ -1052,6 +1066,15 @@ class Simulation:
                                 p, pos_pred, tree, skin=skin,
                                 params=params, box=box, rcfg=rcfg)
                         self._sidm_record_jit = _rec
+                    # SIDM candidate skin = the full force skin: one
+                    # record per rebuild cycle. (A halved skin with a
+                    # mid-cycle re-record was measured at 165k vs 214k
+                    # particle-steps/s — the ~10 s re-record costs more
+                    # than the K-truncation it prevents at the 16-step
+                    # cadence; the truncation bias is telemetered at
+                    # 0.3-0.5% dropped candidate mass there. Long
+                    # cadences would need the bias/VERDICT trade
+                    # revisited.)
                     cands = None   # drop a failed attempt's buffers first
                     cands = self._sidm_record_jit(
                         p, pos_pred, tree,
@@ -1076,9 +1099,12 @@ class Simulation:
                         # probability mass the truncated lists can lose
                         # this cycle (upper bound; kernel weights fall
                         # with r, so dropped FAR candidates weigh less).
-                        ncand_tot = int(np.asarray(cands.ncand).sum())
-                        n_trunc = int((np.asarray(cands.ncand)
-                                       >= rc.k_cap).sum())
+                        # Reductions run ON DEVICE: a full np.asarray of
+                        # the (n,) ncand costs seconds through the axon
+                        # host-transfer tunnel.
+                        ncand_tot = int(jnp.sum(cands.ncand))
+                        n_trunc = int(jnp.sum(
+                            (cands.ncand >= rc.k_cap).astype(jnp.int32)))
                         frac = int(covf[1]) / max(ncand_tot, 1)
                         self.sidm_trunc_frac = frac
                         self.sidm_trunc_targets = n_trunc
@@ -1114,12 +1140,25 @@ class Simulation:
                     from .ops.list_range import RangeListConfig
                     rc = getattr(self, "_sidm_rcfg", None) \
                         or RangeListConfig()
-                    n_long = int((np.asarray(self._sidm_cands.ncand)
-                                  > min(rc.k_dense, rc.k_cap)).sum())
-                    fit = max(4096, self._round_cap(1.3 * n_long, 4096))
-                    # grow-only (a re-jit costs minutes; shrinking saves
-                    # little once fitted)
-                    if rc.tail_cap == 0 or fit > rc.tail_cap:
+                    n_long = int(jnp.sum((self._sidm_cands.ncand
+                                          > min(rc.k_dense, rc.k_cap))
+                                         .astype(jnp.int32)))
+                    # fit ONCE, with a GENEROUS margin (4x + floor): a
+                    # tail_cap change re-jits the eval (measured 42 s
+                    # per recompile on the remote compiler), and the
+                    # long-list population GROWS for a while as the
+                    # controllers evolve h (a 2x margin overflowed by
+                    # 3415 targets mid-bench). Deferred overflow growth
+                    # is applied at the next rebuild (below), never
+                    # mid-cycle.
+                    fit = max(16384, self._round_cap(4.0 * n_long, 4096))
+                    pend = getattr(self, "_sidm_tail_pending", 0)
+                    if pend > rc.tail_cap:
+                        self._sidm_rcfg = rc._replace(
+                            tail_cap=max(pend, fit))
+                        self._sidm_lists_jit = None
+                        self._sidm_tail_pending = 0
+                    elif rc.tail_cap == 0:
                         self._sidm_rcfg = rc._replace(tail_cap=fit)
                         self._sidm_lists_jit = None
                 # the candidate re-record is the ensure_neighbours analog
@@ -1151,17 +1190,34 @@ class Simulation:
                     p, n_scat, events, viol, ovf_g = out
                 else:
                     p, n_scat, viol, ovf_g = out
-                # viol is telemetry only: sidm_scatter_lists clamps each
-                # enumeration radius to its still-covered ball, so a
-                # drifted cycle costs variance, never bias (no forced
-                # rebuild; the force-list displacement monitor owns the
-                # rebuild cadence)
+                # Mid-cycle SIDM re-record trigger: DISPLACEMENT only
+                # (2*md > recorded skin). Radius clamping from h GROWTH
+                # (viol > 0) stays telemetry — the controller inflates h
+                # by up to 1.3x per step, so acting on it would re-record
+                # nearly every step (the r4 min-slack trap). A drift
+                # overrun instead happens ~once per cycle at the halved
+                # candidate skin, and the re-record runs on the FROZEN
+                # topology; the force lists are untouched.
+                if (self._sidm_cands is not None
+                        and getattr(self, "_sidm_md_jit", None) is None):
+                    @jax.jit
+                    def _sidm_md(pos_s, pos_ref):
+                        d = pos_s - pos_ref
+                        return jnp.sqrt(jnp.max(jnp.sum(d * d, axis=-1)))
+                    self._sidm_md_jit = _sidm_md
+                if self._sidm_cands is not None:
+                    md_s = float(self._sidm_md_jit(
+                        tree.pos_s, self._sidm_cands.pos_ref))
+                    if 2.0 * md_s > float(self._sidm_cands.skin):
+                        self._sidm_cands = None
                 ovf_g = np.asarray(ovf_g)
                 if int(ovf_g[0]) > 0 or int(ovf_g[1]) > 0:
                     # a compaction buffer was too small: this step
-                    # under-sampled the DSMC targets. Grow the affected
-                    # tier's capacity and re-jit; the biased step is
-                    # reported.
+                    # under-sampled the DSMC targets (reported). The
+                    # gated tier grows immediately (rare, structural);
+                    # tail growth is DEFERRED to the next rebuild — an
+                    # immediate re-jit costs a ~42 s mid-cycle compile,
+                    # more than the few dropped outlier targets.
                     from .ops.list_range import RangeListConfig
                     cur = getattr(self, "_sidm_rcfg", None) \
                         or RangeListConfig()
@@ -1169,16 +1225,19 @@ class Simulation:
                     if int(ovf_g[0]) > 0:
                         new = new._replace(
                             gated_frac=min(1.0, 1.6 * new.gated_frac))
+                        self._sidm_lists_jit = None
                     if int(ovf_g[1]) > 0:
-                        new = new._replace(
-                            tail_frac=min(1.0, 1.6 * new.tail_frac))
+                        want = self._round_cap(
+                            1.6 * (cur.tail_cap or 4096) + int(ovf_g[1]),
+                            4096)
+                        self._sidm_tail_pending = max(
+                            getattr(self, "_sidm_tail_pending", 0), want)
                     self._sidm_rcfg = new
-                    self._sidm_lists_jit = None
                     print(f"WARNING: gated/tail target caps exceeded by "
                           f"{int(ovf_g[0])}/{int(ovf_g[1])} this step "
                           f"(targets dropped); gated_frac -> "
-                          f"{new.gated_frac:.2f}, tail_frac -> "
-                          f"{new.tail_frac:.2f}.",
+                          f"{new.gated_frac:.2f}, tail growth deferred "
+                          f"to the next rebuild.",
                           file=_sys.stderr, flush=True)
             elif self.cfg.ForceMethod == "tree":
                 if self.cfg.TreeWalkEngine == "wq":

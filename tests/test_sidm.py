@@ -58,21 +58,41 @@ def _run_rate(p, params, dt, n_steps, box=1.0, seed=11):
 
 
 def test_hard_sphere_rate_matches_analytic():
-    """The 3%-grade CI rate check: small per-step event fraction (so the
-    one-scatter-per-particle conflict loss stays ~0.4%, first-order in
-    that fraction) and ~9k total events (~1.1% Poisson). The 1%-grade
-    validation at N=1e5 across all five cross-section types runs on TPU
-    via scripts/validate_rate.py (results in BASELINE.md)."""
-    n = 16384
+    """The default-suite rate check at the 5% bar (~4.5k events, 1.5%
+    Poisson, ~0.7% conflict-loss bias). The 3%-grade check below runs
+    under --runslow; the 1%-grade validation at N=1e5 across all five
+    cross-section types runs on TPU via scripts/validate_rate.py
+    (results in BASELINE.md)."""
+    n = 8192
     s_vel = 1.0
     sigma = 1.0           # internal sigma/m
+    dt = 0.012
+    p = _uniform_box(n, s_vel)
+    params = _params(0, sigma)
+    n_steps = 80
+    events = _run_rate(p, params, dt, n_steps)
+
+    rho = 1.0  # total mass 1 in unit box
+    v_rel_mean = 2.0 * np.sqrt(2.0) * s_vel * np.sqrt(2.0 / np.pi)
+    expected = 0.5 * rho * sigma * v_rel_mean * dt * n * n_steps
+    assert events == pytest.approx(expected, rel=0.05), \
+        (events, expected)
+
+
+@pytest.mark.slow
+def test_hard_sphere_rate_3pct():
+    """3%-grade CI rate check: ~9k events (1.1% Poisson) with the
+    per-step event fraction held at ~0.4% so the one-scatter-per-
+    particle conflict loss stays well inside the bar."""
+    n = 16384
+    s_vel = 1.0
+    sigma = 1.0
     dt = 0.008
     p = _uniform_box(n, s_vel)
     params = _params(0, sigma)
     n_steps = 120
     events = _run_rate(p, params, dt, n_steps)
-
-    rho = 1.0  # total mass 1 in unit box
+    rho = 1.0
     v_rel_mean = 2.0 * np.sqrt(2.0) * s_vel * np.sqrt(2.0 / np.pi)
     expected = 0.5 * rho * sigma * v_rel_mean * dt * n * n_steps
     assert events == pytest.approx(expected, rel=0.03), \
