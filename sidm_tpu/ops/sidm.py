@@ -389,6 +389,50 @@ def _resolve_conflicts(proposal, n):
     return accepted
 
 
+def _resolve_conflicts_compact(proposal, n, cap: int = 65536):
+    """_resolve_conflicts with the proposals COMPACTED first.
+
+    The greedy rounds above run ~5 iterations of full-N scatters per
+    step while only a few thousand particles actually propose (the
+    gate passes ~1e-3..1e-2 of N); compacting the proposers first makes
+    every round's scatter O(P). Semantics are IDENTICAL (min-index
+    proposer wins; endpoints of executed proposals are taken):
+    engines using either resolver produce the same accepted set."""
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_prop = proposal >= 0
+    cpos = jnp.cumsum(is_prop.astype(jnp.int32))
+    dest = jnp.where(is_prop & (cpos - 1 < cap), cpos - 1, cap)
+    ti = jnp.full(cap + 1, n, jnp.int32).at[dest].set(idx)[:cap]
+    live = ti < n
+    tj = jnp.clip(proposal[jnp.clip(ti, 0, n - 1)], 0, n - 1)
+    big = jnp.int32(n)
+
+    def cond(state):
+        pending, _ = state
+        return jnp.any(pending)
+
+    def body(state):
+        pending, acc_c = state
+        prop_i = jnp.where(pending, ti, big)
+        touch = jnp.full(n, big, jnp.int32)
+        touch = touch.at[jnp.clip(ti, 0, n - 1)].min(prop_i)
+        touch = touch.at[tj].min(prop_i)
+        safe = pending & (touch[jnp.clip(ti, 0, n - 1)] == ti) \
+            & (touch[tj] == ti)
+        acc_c = acc_c | safe
+        taken = jnp.zeros(n, bool)
+        taken = taken.at[jnp.clip(ti, 0, n - 1)].max(safe)
+        taken = taken.at[tj].max(safe)
+        pending = pending & (~safe) & (~taken[jnp.clip(ti, 0, n - 1)]) \
+            & (~taken[tj])
+        return pending, acc_c
+
+    _, acc_c = lax.while_loop(cond, body, (live, jnp.zeros(cap, bool)))
+    accepted = jnp.zeros(n + 1, bool).at[
+        jnp.where(live & acc_c, ti, n)].set(True)[:n]
+    return accepted
+
+
 # --------------------------------------------------------------------------
 # Phased (host-chunked) execution path for large N.
 #

@@ -42,7 +42,7 @@ from ..kernels import sph_kernel
 from ..rng import particle_uniforms, random_directions
 from ..sidm_common import cross_section_co, sidm_cmax, sigma_v_product, salt_u32 as _salt_u32
 from ..state import Particles
-from .sidm import SidmParams, _perp_unit, _resolve_conflicts
+from .sidm import SidmParams, _perp_unit, _resolve_conflicts_compact
 from .tree import Octree, build_octree
 from .treeforce import (GROUP_SIZE, _append, _bbox_dist2, _pack3,
                         gather_groups, make_groups)
@@ -410,7 +410,7 @@ def _tree_sidm_finish(p: Particles, pos_pred, perm, inv, ptot_t, best_t,
             & (rv0 > 0)
 
     proposal = jnp.where(hit, partner, -1)
-    accepted = _resolve_conflicts(proposal, n)
+    accepted = _resolve_conflicts_compact(proposal, n)
 
     pj = jnp.clip(proposal, 0, n - 1)
     rel = p.vel - p.vel[pj]

@@ -220,3 +220,23 @@ def test_isotropic_kick_directions():
     # mean of unit vectors ~ 0 within 3/sqrt(n) and <cos^2> ~ 1/3
     assert np.abs(u.mean(0)).max() < 3.5 / np.sqrt(len(u))
     assert np.allclose((u**2).mean(0), 1 / 3, atol=0.03)
+
+
+def test_conflict_resolver_compact_equivalence():
+    """The compacted greedy resolver (O(P) scatters per round) must
+    produce EXACTLY the original full-N resolver's accepted set — the
+    engines mix the two, and decomposition-invariance tests depend on
+    identical greedy semantics."""
+    from sidm_tpu.ops.sidm import _resolve_conflicts_compact
+
+    rng = np.random.default_rng(17)
+    for _ in range(10):
+        n = int(rng.integers(64, 2048))
+        prop = np.full(n, -1, np.int32)
+        k = int(rng.integers(0, n // 2))
+        who = rng.choice(n, size=k, replace=False)
+        prop[who] = rng.integers(0, n, size=k)
+        prop[prop == np.arange(n)] = -1
+        a = np.asarray(_resolve_conflicts(jnp.asarray(prop), n))
+        b = np.asarray(_resolve_conflicts_compact(jnp.asarray(prop), n))
+        np.testing.assert_array_equal(a, b)
