@@ -419,7 +419,11 @@ def _eval_gated(rows, cand, ncand, hs, dts, typs, salt, time, sigma_co,
         n_m = cpos[n - 1]
         dest = jnp.where(mask, cpos - 1, n)
         gpos = jnp.full(n + 1, 0, jnp.int32).at[dest].set(idx)[:n]
-        tid = jnp.where(idx < jnp.minimum(n_m, cap), gpos, -1)[:cap]
+        if cap > n:      # static: tid must be exactly cap-sized
+            gpos = jnp.concatenate(
+                [gpos, jnp.zeros(cap - n, jnp.int32)])
+        slot = jnp.arange(cap, dtype=jnp.int32)
+        tid = jnp.where(slot < jnp.minimum(n_m, cap), gpos[:cap], -1)
         return tid, n_m
 
     def run_tier(tid, cap, Kt):

@@ -114,6 +114,7 @@ def test_controller_rate_matches_exact_band():
         (r_ctrl, r_band, n_ev, tol)
 
 
+@pytest.mark.slow
 def test_controller_converges_into_band():
     """After burn-in, the controller's neighbour counts sit inside (a
     modestly widened) reference band — the steady state the reference

@@ -225,6 +225,7 @@ def test_reshard_run_invariant():
         rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_sharded_force_work_balance():
     """The GravCost-bisection analog (domain.c:154-441): the fused force's
     density-sorted round-robin block striding must give every device a

@@ -7,6 +7,7 @@ this forces mode="phased" to cover the large-N pipeline in CI sizes
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from sidm_tpu.config import SimConfig
@@ -32,6 +33,7 @@ def _sim(n=1024, sigma=30.0):
     return sim
 
 
+@pytest.mark.slow
 def test_phased_step_runs_and_conserves():
     sim = _sim()
     sim.prepare()
