@@ -136,3 +136,26 @@ def test_two_tier_eval_matches_walk():
                                   np.asarray(p_w.ngb_vd))
     np.testing.assert_allclose(np.asarray(p_l.dvel), np.asarray(p_w.dvel),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_two_tier_eval_small_n_below_caps():
+    """Regression: n smaller than the gated/tail compaction capacities
+    (the phased driver's small-run path) — the compacted tid arrays must
+    pad to exactly the static capacity (r5 reshape bug)."""
+    from sidm_tpu.ops.list_range import _eval_gated
+
+    n, K = 1024, 64
+    params = SidmParams(1.0, 0, 1.0, 1.0, 0.0, 16, 2, False, 1.0, 0.0,
+                        0.0)
+    rng = np.random.default_rng(0)
+    rows = jnp.asarray(rng.normal(0, 1, (n, 8)).astype(np.float32))
+    cand = jnp.asarray(rng.integers(0, n, (n, K)).astype(np.int32))
+    ncand = jnp.asarray(rng.integers(0, K, n).astype(np.int32))
+    hs = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    dts = jnp.full(n, 0.01, jnp.float32)
+    typs = jnp.ones(n, jnp.int32)
+    out = _eval_gated(rows, cand, ncand, hs, dts, typs, jnp.uint32(1),
+                      jnp.float32(1.0), jnp.float32(1.0), params,
+                      4096, 4096, 32, 0.0)
+    assert np.asarray(out[0]).shape == (n,)
+    assert np.isfinite(np.asarray(out[0])).all()
